@@ -1,0 +1,332 @@
+"""The AIR model: a fixed-max-steps ``lax.scan`` with ACT-style stop masking.
+
+Re-designs the reference's dynamic ``tf.while_loop`` graph
+(reference air/air_model.py:269-600) as a static, jit-compilable scan:
+
+  * Every loss/canvas/count update is already gated by
+    ``stopping_sum < stopping_threshold`` in the reference
+    (air/air_model.py:411-496), so running all ``max_steps`` iterations with
+    those masks is *functionally identical* to the reference's early-exiting
+    while_loop; the only divergence is compute (SURVEY.md §7 design stance).
+  * z_pres KL is masked by the PRE-update stopping_sum (the first post-stop
+    step's KL still counts, air/air_model.py:398-418); scale/shift/VAE KLs
+    and the canvas write are masked by the POST-update sum
+    (air/air_model.py:429-496).
+  * The canvas accumulates ``z_pres * window_recon`` — the continuous
+    relaxation trick (air/air_model.py:429-439).
+  * Spatial attention uses separable MXU matmuls (air_tpu.ops.transformer)
+    rather than gathers; Pallas fused kernels can be toggled via
+    ``st_impl`` (see air_tpu.kernels).
+
+RNG: 4 independent draws per step (scale, shift, VAE [latent + likelihood],
+Gumbel); keys are pre-split outside the scan and fed as xs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from air_tpu.models.config import AIRConfig
+from air_tpu.nn.layers import two_layer_head_init, two_layer_head_apply
+from air_tpu.nn.lstm import lstm_init, lstm_apply, lstm_zero_state
+from air_tpu.nn.vae import vae_init, vae_apply
+from air_tpu.nn.cnn import cnn_init, cnn_apply
+from air_tpu.ops.transformer import attention_read, attention_write
+from air_tpu.ops.concrete import (
+    concrete_binary_pre_sigmoid_sample,
+    concrete_binary_kl_mc_sample,
+)
+from air_tpu.ops.gaussian import sample_from_mvn, gaussian_kl
+from air_tpu.ops.schedules import resolve_annealed
+
+RECON_EPS = 10e-10  # reference air/air_model.py:587-588
+
+
+class AIROutputs(NamedTuple):
+    """Everything the reference exposes as AIRModel attributes
+    (reference air/air_model.py:569-611), shape-static [B, max_steps, ...]."""
+    rec_num_digits: jnp.ndarray      # [B] int32
+    rec_scales: jnp.ndarray          # [B, T, 1]
+    rec_shifts: jnp.ndarray          # [B, T, 2]
+    rec_st_back: jnp.ndarray         # [B, T, 2, 3]
+    rec_windows: jnp.ndarray         # [B, T, ws*ws]
+    rec_latents: jnp.ndarray         # [B, T, latent]
+    z_pres_probs: jnp.ndarray        # [B, T]
+    z_pres: jnp.ndarray              # [B, T] (relaxed/rounded samples)
+    z_pres_kls: jnp.ndarray          # [B, T]
+    scale_kls: jnp.ndarray           # [B, T]
+    shift_kls: jnp.ndarray           # [B, T]
+    vae_kls: jnp.ndarray             # [B, T]
+    reconstruction: jnp.ndarray      # [B, canvas**2], clipped to [0, 1]
+    reconstruction_loss: jnp.ndarray  # [B]
+    kl_loss: jnp.ndarray             # [B] (the while-loop running_loss)
+    per_example_loss: jnp.ndarray    # [B]
+    loss: jnp.ndarray                # [] mean total loss
+    accuracy: jnp.ndarray            # [] digit-count accuracy
+
+
+def init_air_params(key: jax.Array, config: AIRConfig,
+                    dtype=jnp.float32) -> dict:
+    """Initialize the AIR parameter pytree (~4.0M params at default config,
+    SURVEY.md §2a parameter count)."""
+    ks = jax.random.split(key, 9)
+    rnn_in = config.rnn_input_dim
+    ws2 = config.windows_size ** 2
+    params = {
+        "lstm": lstm_init(ks[0], rnn_in, config.rnn_units, dtype),
+        "scale_mean": two_layer_head_init(
+            ks[1], config.rnn_units, config.scale_hidden_units, 1, dtype),
+        "scale_log_variance": two_layer_head_init(
+            ks[2], config.rnn_units, config.scale_hidden_units, 1, dtype),
+        "shift_mean": two_layer_head_init(
+            ks[3], config.rnn_units, config.shift_hidden_units, 2, dtype),
+        "shift_log_variance": two_layer_head_init(
+            ks[4], config.rnn_units, config.shift_hidden_units, 2, dtype),
+        "z_pres_log_odds": two_layer_head_init(
+            ks[5], config.rnn_units, config.z_pres_hidden_units, 1, dtype),
+        "vae": vae_init(ks[6], ws2, config.vae_recognition_units,
+                        config.vae_latent_dimensions,
+                        config.vae_generative_units, dtype),
+    }
+    if config.cnn:
+        params["cnn"] = cnn_init(ks[7], config.cnn_filters, dtype)
+    return params
+
+
+def _step(params: dict, config: AIRConfig, hp: dict,
+          images_2d: jnp.ndarray, rnn_input: jnp.ndarray,
+          train: bool, carry, key: jax.Array):
+    """One attention step — the reference while_loop ``body``
+    (reference air/air_model.py:278-508), order preserved exactly."""
+    lstm_state, stopping_sum, running_recon, running_loss, running_digits = carry
+    k_scale, k_shift, k_vae, k_zpres = jax.random.split(key, 4)
+    batch = images_2d.shape[0]
+    ws = config.windows_size
+    cs = config.canvas_size
+    threshold = hp["stopping_threshold"]
+
+    # RNN time step (air/air_model.py:284-286)
+    outputs, lstm_state = lstm_apply(params["lstm"], lstm_state, rnn_input)
+
+    # scale head: sample -> sigmoid (air/air_model.py:288-303)
+    scale_mean = two_layer_head_apply(params["scale_mean"], outputs)
+    scale_log_variance = two_layer_head_apply(
+        params["scale_log_variance"], outputs)
+    scale_variance = jnp.exp(scale_log_variance)
+    scale = jax.nn.sigmoid(sample_from_mvn(k_scale, scale_mean, scale_variance))
+    s = scale[:, 0]
+
+    # shift head: sample -> tanh (air/air_model.py:305-320)
+    shift_mean = two_layer_head_apply(params["shift_mean"], outputs)
+    shift_log_variance = two_layer_head_apply(
+        params["shift_log_variance"], outputs)
+    shift_variance = jnp.exp(shift_log_variance)
+    shift = jnp.tanh(sample_from_mvn(k_shift, shift_mean, shift_variance))
+    x, y = shift[:, 0], shift[:, 1]
+
+    # forward ST: canvas -> window (air/air_model.py:322-333), MXU path
+    window = attention_read(images_2d, s, x, y, ws).reshape(batch, ws * ws)
+
+    # VAE on the flattened window (air/air_model.py:335-349)
+    vae_recon, vae_mean, vae_log_variance, vae_latent = vae_apply(
+        params["vae"], k_vae, window, hp["vae_likelihood_std"])
+
+    # backward ST theta, recorded for visualization (air/air_model.py:351-360)
+    zeros = jnp.zeros_like(s)
+    inv_s = 1.0 / s
+    theta_back = jnp.stack([
+        jnp.stack([inv_s, zeros, -x * inv_s], axis=1),
+        jnp.stack([zeros, inv_s, -y * inv_s], axis=1),
+    ], axis=1)                                                # [B, 2, 3]
+
+    # backward ST: window -> canvas (air/air_model.py:362-366), MXU path
+    window_recon = attention_write(
+        vae_recon.reshape(batch, ws, ws), s, x, y, cs)
+
+    # z_pres head -> Concrete sample (air/air_model.py:368-396)
+    z_pres_log_odds = two_layer_head_apply(
+        params["z_pres_log_odds"], outputs)[:, 0]
+    z_pres_pre_sigmoid = concrete_binary_pre_sigmoid_sample(
+        k_zpres, z_pres_log_odds, hp["z_pres_temperature"])
+    z_pres = jax.nn.sigmoid(z_pres_pre_sigmoid)
+    if not train:
+        # test time: rounding to the underlying Bernoulli sample
+        # (air/air_model.py:387-390)
+        z_pres = jnp.round(z_pres)
+    z_pres_prob = jax.nn.sigmoid(z_pres_log_odds)
+
+    # z_pres KL, masked by the PRE-update stopping_sum
+    # (air/air_model.py:398-418)
+    z_pres_kl = concrete_binary_kl_mc_sample(
+        z_pres_pre_sigmoid,
+        hp["z_pres_prior_log_odds"], hp["z_pres_temperature"],
+        z_pres_log_odds, hp["z_pres_temperature"])
+    running_loss += jnp.where(stopping_sum < threshold, z_pres_kl, 0.0)
+
+    # stopping sum and digit count updates (air/air_model.py:420-427)
+    stopping_sum = stopping_sum + (1.0 - z_pres)
+    alive = stopping_sum < threshold
+    running_digits = running_digits + alive.astype(jnp.int32)
+
+    # canvas += z_pres * window_recon for unfinished items
+    # (air/air_model.py:429-439) — the continuous-relaxation trick
+    running_recon += jnp.where(
+        alive[:, None],
+        z_pres[:, None] * window_recon.reshape(batch, cs * cs),
+        0.0)
+
+    # scale / shift / VAE closed-form KLs, masked by POST-update sum
+    # (air/air_model.py:441-496)
+    scale_kl = gaussian_kl(scale_mean, scale_log_variance,
+                           hp["scale_prior_mean"], hp["scale_prior_variance"])
+    running_loss += jnp.where(alive, scale_kl, 0.0)
+
+    shift_kl = gaussian_kl(shift_mean, shift_log_variance,
+                           hp["shift_prior_mean"], hp["shift_prior_variance"])
+    running_loss += jnp.where(alive, shift_kl, 0.0)
+
+    vae_kl = gaussian_kl(vae_mean, vae_log_variance,
+                         hp["vae_prior_mean"], hp["vae_prior_variance"])
+    running_loss += jnp.where(alive, vae_kl, 0.0)
+
+    carry = (lstm_state, stopping_sum, running_recon, running_loss,
+             running_digits)
+    ys = (scale, shift, z_pres_prob, z_pres, z_pres_kl,
+          scale_kl, shift_kl, vae_kl, theta_back, vae_recon, vae_latent)
+    return carry, ys
+
+
+def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
+                target_num_digits: jnp.ndarray, key: jax.Array,
+                train: bool | None = None,
+                hparams: dict[str, Any] | None = None,
+                step=None) -> AIROutputs:
+    """Full AIR forward pass + losses on a [B, canvas**2] batch.
+
+    ``train`` defaults to ``config.train``; ``hparams`` (annealed scalar
+    overrides) defaults to resolving ``config.annealing_schedules`` at
+    ``step`` (or the static config values when both are None).
+    """
+    if train is None:
+        train = config.train
+    if hparams is None:
+        if step is None:
+            hp = config.annealable_defaults()
+        else:
+            hp = resolve_annealed(config.schedules,
+                                  config.annealable_defaults(), step)
+    else:
+        hp = dict(config.annealable_defaults())
+        hp.update(hparams)
+
+    batch = images.shape[0]
+    cs = config.canvas_size
+    images = images.astype(jnp.float32)
+    images_2d = images.reshape(batch, cs, cs)
+
+    # recurrent input: CNN features or the raw flat image every step
+    # (reference air/air_model.py:510-535)
+    if config.cnn:
+        rnn_input = cnn_apply(params["cnn"], images, cs, config.cnn_filters)
+    else:
+        rnn_input = images
+
+    init_carry = (
+        lstm_zero_state(batch, config.rnn_units, images.dtype),
+        jnp.zeros((batch,), images.dtype),            # stopping_sum
+        jnp.zeros((batch, cs * cs), images.dtype),    # running_recon
+        jnp.zeros((batch,), images.dtype),            # running_loss
+        jnp.zeros((batch,), jnp.int32),               # running_digits
+    )
+    step_keys = jax.random.split(key, config.max_steps)
+
+    def body(carry, k):
+        return _step(params, config, hp, images_2d, rnn_input, train,
+                     carry, k)
+
+    carry, ys = jax.lax.scan(body, init_carry, step_keys)
+    (_, _, running_recon, running_loss, running_digits) = carry
+    (scales, shifts, z_pres_probs, z_pres, z_pres_kls,
+     scale_kls, shift_kls, vae_kls, st_back, windows, latents) = ys
+
+    # [T, B, ...] -> [B, T, ...] (reference air/air_model.py:569-578)
+    def t2b(a):
+        return jnp.moveaxis(a, 0, 1)
+
+    # reconstruction: clip + pixel-wise BCE (reference air/air_model.py:580-590).
+    # log(max(x, eps)) instead of log(x + eps): XLA reassociates the latter
+    # and constant-folds the eps away near 1.0 (fp32), yielding log(0) = -inf
+    # when a canvas pixel saturates; max() is reassociation-proof and equal
+    # to the reference at fp32 precision.
+    reconstruction = jnp.clip(running_recon, 0.0, 1.0)
+    reconstruction_loss = -jnp.sum(
+        images * jnp.log(jnp.maximum(reconstruction, RECON_EPS))
+        + (1.0 - images) * jnp.log(jnp.maximum(1.0 - reconstruction,
+                                               RECON_EPS)),
+        axis=1)
+
+    per_example_loss = running_loss + reconstruction_loss
+    loss = jnp.mean(per_example_loss)
+    accuracy = jnp.mean(
+        (target_num_digits.astype(jnp.int32) == running_digits)
+        .astype(jnp.float32))
+
+    return AIROutputs(
+        rec_num_digits=running_digits,
+        rec_scales=t2b(scales),
+        rec_shifts=t2b(shifts),
+        rec_st_back=t2b(st_back),
+        rec_windows=t2b(windows),
+        rec_latents=t2b(latents),
+        z_pres_probs=t2b(z_pres_probs),
+        z_pres=t2b(z_pres),
+        z_pres_kls=t2b(z_pres_kls),
+        scale_kls=t2b(scale_kls),
+        shift_kls=t2b(shift_kls),
+        vae_kls=t2b(vae_kls),
+        reconstruction=reconstruction,
+        reconstruction_loss=reconstruction_loss,
+        kl_loss=running_loss,
+        per_example_loss=per_example_loss,
+        loss=loss,
+        accuracy=accuracy,
+    )
+
+
+class AIRModel:
+    """Convenience object facade over (config, params, forward).
+
+    Mirrors the reference class surface (reference air/air_model.py:11-92):
+    construct with a config (all 34 reference kwargs accepted), then call
+    ``forward``/``__call__`` to obtain the same outputs the reference exposes
+    as graph attributes. Stateless w.r.t. jit: ``forward`` is a pure function
+    of (params, images, targets, key).
+    """
+
+    def __init__(self, config: AIRConfig | None = None,
+                 params: dict | None = None,
+                 rng: jax.Array | int = 0, **kwargs):
+        if config is None:
+            config = AIRConfig(**kwargs)
+        elif kwargs:
+            config = config.replace(**kwargs)
+        self.config = config
+        if params is None:
+            if isinstance(rng, int):
+                rng = jax.random.PRNGKey(rng)
+            params = init_air_params(rng, config)
+        self.params = params
+
+    def forward(self, images, target_num_digits, key,
+                train: bool | None = None, step=None) -> AIROutputs:
+        return air_forward(self.params, self.config, images,
+                           target_num_digits, key, train=train, step=step)
+
+    __call__ = forward
+
+    @property
+    def num_params(self) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(self.params))

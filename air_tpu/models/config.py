@@ -1,0 +1,150 @@
+"""AIR model configuration.
+
+``AIRConfig`` mirrors, name-for-name and default-for-default, the full
+34-kwarg constructor surface of the reference ``AIRModel.__init__``
+(reference air/air_model.py:13-22). Constructor-surface parity is a
+BASELINE requirement (SURVEY.md §5 "Config / flag system").
+
+TF-graph-specific knobs (``reuse``, ``scope``) are retained for surface
+parity but are inert in JAX: variable sharing is the default (one params
+pytree serves both train and eval forwards), so the reference's
+two-models-sharing-variables pattern (training.py:87-125) collapses to
+calling ``air_forward`` twice with ``train=True/False``.
+
+``annealing_schedules`` uses the reference's dict-of-dicts schema
+({init, iters, factor, staircase?, min?, max?, log?}, reference
+air/air_model.py:94-121) and may target any float hyperparameter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+def _freeze(obj):
+    """Recursively convert dicts/lists to hashable tuples for jit staticness."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+def _thaw(obj):
+    """Inverse of _freeze for schedule dicts."""
+    if isinstance(obj, tuple) and obj and all(
+            isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str)
+            for e in obj):
+        return {k: _thaw(v) for k, v in obj}
+    return obj
+
+
+@dataclasses.dataclass(frozen=True)
+class AIRConfig:
+    # --- structure (reference air/air_model.py:14) ---
+    max_steps: int = 3
+    max_digits: int = 2
+    rnn_units: int = 256
+    canvas_size: int = 50
+    windows_size: int = 28
+    # --- VAE (reference air/air_model.py:15) ---
+    vae_latent_dimensions: int = 50
+    vae_recognition_units: tuple = (512, 256)
+    vae_generative_units: tuple = (256, 512)
+    # --- priors (reference air/air_model.py:16-17) ---
+    scale_prior_mean: float = -1.0
+    scale_prior_variance: float = 0.1
+    shift_prior_mean: float = 0.0
+    shift_prior_variance: float = 1.0
+    vae_prior_mean: float = 0.0
+    vae_prior_variance: float = 1.0
+    vae_likelihood_std: float = 0.3
+    # --- heads (reference air/air_model.py:18) ---
+    scale_hidden_units: int = 64
+    shift_hidden_units: int = 64
+    z_pres_hidden_units: int = 64
+    # --- z_pres / stopping (reference air/air_model.py:19) ---
+    z_pres_prior_log_odds: float = -2.0
+    z_pres_temperature: float = 1.0
+    stopping_threshold: float = 0.99
+    # --- optimization (reference air/air_model.py:20) ---
+    learning_rate: float = 1e-3
+    gradient_clipping_norm: float | None = 100.0
+    cnn: bool = True
+    cnn_filters: int = 8
+    # --- bookkeeping (reference air/air_model.py:21) ---
+    num_summary_images: int = 60
+    train: bool = False
+    reuse: bool = False      # inert in JAX (kept for surface parity)
+    scope: str = "air"       # inert in JAX (kept for surface parity)
+    # --- annealing (reference air/air_model.py:22,94-121) ---
+    annealing_schedules: Any = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "vae_recognition_units",
+                           tuple(self.vae_recognition_units))
+        object.__setattr__(self, "vae_generative_units",
+                           tuple(self.vae_generative_units))
+        if isinstance(self.annealing_schedules, dict):
+            object.__setattr__(self, "annealing_schedules",
+                               _freeze(self.annealing_schedules))
+
+    @property
+    def schedules(self) -> dict:
+        """Annealing schedules as a plain dict (possibly empty)."""
+        if self.annealing_schedules is None:
+            return {}
+        return _thaw(self.annealing_schedules)
+
+    @property
+    def rnn_input_dim(self) -> int:
+        if self.cnn:
+            return (self.canvas_size // 4) ** 2 * self.cnn_filters
+        return self.canvas_size ** 2
+
+    # Hyperparameters eligible for annealing, with their static defaults —
+    # the counterpart of the reference's setattr mechanism
+    # (air/air_model.py:76-82) restricted to loss-relevant scalars.
+    def annealable_defaults(self) -> dict:
+        return {
+            "z_pres_prior_log_odds": self.z_pres_prior_log_odds,
+            "z_pres_temperature": self.z_pres_temperature,
+            "stopping_threshold": self.stopping_threshold,
+            "learning_rate": self.learning_rate,
+            "vae_likelihood_std": self.vae_likelihood_std,
+            "scale_prior_mean": self.scale_prior_mean,
+            "scale_prior_variance": self.scale_prior_variance,
+            "shift_prior_mean": self.shift_prior_mean,
+            "shift_prior_variance": self.shift_prior_variance,
+            "vae_prior_mean": self.vae_prior_mean,
+            "vae_prior_variance": self.vae_prior_variance,
+        }
+
+    def replace(self, **kw) -> "AIRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The default training configuration of the reference driver
+# (reference training.py:100-123), including the z_pres prior log-odds
+# annealing 1e4 -> 1e-9 over the first ~40k iterations (README.md:18).
+DEFAULT_TRAINING_CONFIG = AIRConfig(
+    max_steps=3, max_digits=2, rnn_units=256, canvas_size=50, windows_size=28,
+    vae_latent_dimensions=50, vae_recognition_units=(512, 256),
+    vae_generative_units=(256, 512),
+    scale_prior_mean=-1.0, scale_prior_variance=0.05,
+    shift_prior_mean=0.0, shift_prior_variance=1.0,
+    vae_prior_mean=0.0, vae_prior_variance=1.0, vae_likelihood_std=0.3,
+    scale_hidden_units=64, shift_hidden_units=64, z_pres_hidden_units=64,
+    z_pres_prior_log_odds=-0.01, z_pres_temperature=1.0,
+    stopping_threshold=0.99,
+    learning_rate=1e-4, gradient_clipping_norm=1.0, cnn=False, cnn_filters=8,
+    num_summary_images=60, train=True,
+    annealing_schedules={
+        "z_pres_prior_log_odds": {
+            "init": 10000.0, "min": 0.000000001,
+            "factor": 0.1, "iters": 3000,
+            "staircase": False, "log": True,
+        },
+    },
+)
