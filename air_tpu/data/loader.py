@@ -1,0 +1,132 @@
+"""Host-side training data loader.
+
+TPU-native replacement for the reference's TFRecord queue pipeline
+(reference multi_mnist.py:228-251; training.py:74-85): instead of C++ queue
+runners feeding a shuffle queue, the (small, ~590 MB) train set lives in
+host RAM, each epoch is a seeded permutation, and batches are fed to the
+device with a prefetch depth of 2 (``jax.device_put`` overlaps with compute).
+
+Determinism & recovery (SURVEY.md §5 "Failure detection"): the shuffle for
+epoch ``e`` is ``PRNG(seed, e)``, so the loader's position is fully
+described by ``(epoch, index)`` — checkpoint those two ints and resume is
+exact.
+
+An optional native C++ backend (air_tpu.runtime) provides the
+shuffle+batch+copy loop off the GIL; the numpy path is the default and the
+semantic reference.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from air_tpu.data.records import read_records
+
+
+class TrainLoader:
+    """Epoch-shuffled batch iterator with optional background prefetch.
+
+    Yields (images [B, canvas^2] float32, digits [B] int32). Drops the final
+    partial batch (shapes stay static for jit, matching the reference's
+    fixed-size ``shuffle_batch``).
+    """
+
+    def __init__(self, path_or_arrays, batch_size: int, epochs: int | None = None,
+                 seed: int = 0, prefetch: int = 2, device_put=None,
+                 native: bool | None = None):
+        if isinstance(path_or_arrays, str):
+            rec = read_records(path_or_arrays)
+            self.images = np.asarray(rec["images"], np.float32)
+            self.digits = np.asarray(rec["digits"], np.int32)
+        else:
+            images, digits = path_or_arrays
+            self.images = np.asarray(images, np.float32).reshape(
+                len(images), -1)
+            self.digits = np.asarray(digits, np.int32)
+        self.n = len(self.images)
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.seed = seed
+        self.prefetch = prefetch
+        self.device_put = device_put
+        self.epoch = 0
+        self.index = 0
+        self._native = None
+        if native or native is None:
+            try:
+                from air_tpu.runtime import NativeShuffleLoader
+                self._native = NativeShuffleLoader(
+                    self.images, self.digits, batch_size, seed)
+            except Exception:
+                if native:
+                    raise
+                self._native = None
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return self.n // self.batch_size
+
+    def state(self) -> dict:
+        """Data-order state for exact checkpoint/resume."""
+        return {"epoch": self.epoch, "index": self.index, "seed": self.seed}
+
+    def restore(self, state: dict):
+        self.epoch = int(state["epoch"])
+        self.index = int(state["index"])
+        self.seed = int(state["seed"])
+
+    def _perm(self, epoch: int) -> np.ndarray:
+        if self._native is not None:
+            return self._native.perm(epoch)
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch])).permutation(self.n)
+
+    def _iter_host(self):
+        while self.epochs is None or self.epoch < self.epochs:
+            perm = self._perm(self.epoch)
+            bs = self.batch_size
+            while self.index + bs <= self.n:
+                sel = perm[self.index:self.index + bs]
+                if self._native is not None:
+                    batch = self._native.gather(sel)
+                else:
+                    batch = (self.images[sel], self.digits[sel])
+                self.index += bs
+                yield batch
+            self.epoch += 1
+            self.index = 0
+
+    def __iter__(self):
+        if self.prefetch <= 0 or self.device_put is None:
+            yield from self._iter_host()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for batch in self._iter_host():
+                    q.put(self.device_put(batch))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def load_test_data(path: str, shift_zero_digits_images: bool = True):
+    """Full test set as dense arrays (reference training.py:154-156 usage).
+    Returns (images [N, canvas^2] float32, digits [N] int32)."""
+    from air_tpu.data.records import read_test_data
+    images, digits, *_ = read_test_data(
+        path, shift_zero_digits_images=shift_zero_digits_images)
+    return np.asarray(images, np.float32), np.asarray(digits, np.int32)

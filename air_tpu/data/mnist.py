@@ -1,0 +1,166 @@
+"""MNIST digit sources.
+
+The reference pulls MNIST through the (long-dead)
+``tensorflow.examples.tutorials.mnist`` path (reference multi_mnist.py:8,336).
+This module replaces it with:
+
+  1. ``load_mnist(dir)`` — reads the standard IDX ubyte files (gzipped or
+     raw) or a cached ``mnist.npz`` if present on disk. No network access.
+  2. ``synthesize_mnist(n, seed)`` — a deterministic, fully offline fallback
+     that renders digit glyphs (DejaVu fonts) at 28x28 with random font,
+     size, affine jitter and stroke-intensity variation. Good enough to
+     train/evaluate the AIR *object counting* task end-to-end when real
+     MNIST files are unavailable (zero-egress environments).
+
+``get_mnist`` picks the best available source.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import numpy as np
+
+IMAGE_SIZE = 28
+
+_FONT_PATHS = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+]
+
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(dims)
+
+
+def load_mnist(data_dir: str):
+    """Load MNIST train split from ``data_dir``.
+
+    Accepts either ``mnist.npz`` (keys: x_train [N,28,28] uint8, y_train [N])
+    or the classic idx files ``train-images-idx3-ubyte[.gz]`` /
+    ``train-labels-idx1-ubyte[.gz]``. Returns (images [N, 784] float32 in
+    [0,1], labels [N] int32), matching the reference's
+    ``dataset.train.images`` layout (flat, normalized).
+    """
+    npz = os.path.join(data_dir, "mnist.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as d:
+            images, labels = d["x_train"], d["y_train"]
+    else:
+        img_path = None
+        lbl_path = None
+        for suffix in ("", ".gz"):
+            p = os.path.join(data_dir, "train-images-idx3-ubyte" + suffix)
+            q = os.path.join(data_dir, "train-labels-idx1-ubyte" + suffix)
+            if os.path.exists(p) and os.path.exists(q):
+                img_path, lbl_path = p, q
+                break
+        if img_path is None:
+            raise FileNotFoundError(
+                f"no MNIST files (mnist.npz or idx ubyte) in {data_dir!r}")
+        images = _read_idx(img_path)
+        labels = _read_idx(lbl_path)
+    images = images.reshape(len(images), -1).astype(np.float32) / 255.0
+    return images, labels.astype(np.int32)
+
+
+def _render_digit(draw_cls, font, digit: int, size: int = IMAGE_SIZE):
+    from PIL import Image, ImageDraw
+    img = Image.new("L", (size * 2, size * 2), 0)
+    d = ImageDraw.Draw(img)
+    d.text((size // 2, size // 4), str(digit), fill=255, font=font)
+    return img
+
+
+def synthesize_mnist(n: int = 60000, seed: int = 0):
+    """Render n MNIST-like 28x28 digit images deterministically, offline.
+
+    Per sample: random digit 0-9, random DejaVu font, random point size
+    (18-26), small random rotation/shear/translation, random peak intensity
+    (0.75-1.0), light blur. Returns (images [n, 784] float32, labels [n]).
+    """
+    from PIL import Image, ImageDraw, ImageFont, ImageFilter
+
+    rng = np.random.default_rng(seed)
+    fonts = [p for p in _FONT_PATHS if os.path.exists(p)]
+    if not fonts:
+        raise RuntimeError("no TTF fonts found for synthetic MNIST")
+    # pre-load a grid of (font, size) variants
+    sizes = list(range(18, 27))
+    loaded = {}
+    for fp in fonts:
+        for s in sizes:
+            loaded[(fp, s)] = ImageFont.truetype(fp, s)
+
+    images = np.zeros((n, IMAGE_SIZE * IMAGE_SIZE), np.float32)
+    labels = rng.integers(0, 10, size=n).astype(np.int32)
+
+    big = IMAGE_SIZE * 2
+    for i in range(n):
+        digit = int(labels[i])
+        font = loaded[(fonts[rng.integers(len(fonts))],
+                       sizes[rng.integers(len(sizes))])]
+        img = Image.new("L", (big, big), 0)
+        ImageDraw.Draw(img).text((big // 3, big // 6), str(digit),
+                                 fill=255, font=font)
+        # small random affine: rotation +- 12 deg, shear, jitter
+        angle = rng.uniform(-12, 12)
+        img = img.rotate(angle, resample=Image.BILINEAR,
+                         center=(big // 2, big // 2))
+        if rng.uniform() < 0.5:
+            img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.2, 0.7)))
+        arr = np.asarray(img, np.float32) / 255.0
+        # crop tightly around ink, then paste centered-with-jitter into 28x28
+        ys, xs = np.nonzero(arr > 0.05)
+        if len(ys) == 0:
+            arr = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32)
+        else:
+            crop = arr[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+            ch, cw = crop.shape
+            scale = min((IMAGE_SIZE - 8) / max(ch, cw), 1.0)
+            if scale < 1.0:
+                im2 = Image.fromarray((crop * 255).astype(np.uint8))
+                im2 = im2.resize((max(1, int(cw * scale)),
+                                  max(1, int(ch * scale))),
+                                 Image.BILINEAR)
+                crop = np.asarray(im2, np.float32) / 255.0
+                ch, cw = crop.shape
+            canvas = np.zeros((IMAGE_SIZE, IMAGE_SIZE), np.float32)
+            oy = (IMAGE_SIZE - ch) // 2 + int(rng.integers(-2, 3))
+            ox = (IMAGE_SIZE - cw) // 2 + int(rng.integers(-2, 3))
+            oy = np.clip(oy, 0, IMAGE_SIZE - ch)
+            ox = np.clip(ox, 0, IMAGE_SIZE - cw)
+            canvas[oy:oy + ch, ox:ox + cw] = crop
+            arr = canvas
+        arr *= rng.uniform(0.75, 1.0)
+        images[i] = np.clip(arr, 0.0, 1.0).ravel()
+
+    return images, labels
+
+
+def get_mnist(data_dir: str = "mnist_data", n_synthetic: int = 60000,
+              seed: int = 0, allow_synthetic: bool = True):
+    """Real MNIST from ``data_dir`` if present, else the synthetic fallback.
+
+    Returns (images [N,784] float32, labels [N] int32, source_str).
+    """
+    try:
+        images, labels = load_mnist(data_dir)
+        return images, labels, "mnist"
+    except (FileNotFoundError, OSError):
+        if not allow_synthetic:
+            raise
+        images, labels = synthesize_mnist(n_synthetic, seed)
+        return images, labels, "synthetic"
