@@ -1,0 +1,144 @@
+"""Checkpointing with resume.
+
+The reference only ever *saves* during training (``tf.train.Saver`` every
+10k iterations, reference training.py:141,203-207; restore exists only in
+demo.py:33/embeddings.py:168 — training cannot resume). Here a checkpoint is
+the complete training closure — {params, opt_state, global step, PRNG key,
+loader state} — so restart-and-resume is exact (SURVEY.md §5).
+
+Format: a single .npz of path-flattened arrays + a JSON sidecar of metadata.
+No framework dependency; loadable with plain numpy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from air_tpu.train.state import TrainState, create_train_state
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+        if hasattr(tree, "_fields"):  # NamedTuple: remember field names
+            pass
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
+                    loader_state: dict | None = None,
+                    max_to_keep: int = 10000, prefix: str = "air-model"):
+    """Write ``<directory>/<prefix>-<step>.npz`` (+ .json metadata).
+    Returns the checkpoint path."""
+    os.makedirs(directory, exist_ok=True)
+    if step is None:
+        step = int(state.step)
+    params_flat = _flatten(jax.device_get(state.params), "params/")
+    # opt_state is a nested structure of namedtuples/arrays: flatten with
+    # tree paths so restore can rebuild by zip (structure comes from a
+    # freshly-initialized optimizer).
+    opt_leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(jax.device_get(state.opt_state))]
+    arrays = dict(params_flat)
+    for i, leaf in enumerate(opt_leaves):
+        arrays[f"opt/{i}"] = leaf
+    arrays["step"] = np.asarray(int(state.step), np.int32)
+    arrays["key"] = np.asarray(jax.device_get(
+        jax.random.key_data(state.key)
+        if jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
+        else state.key))
+
+    path = os.path.join(directory, f"{prefix}-{step}.npz")
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+    meta = {"step": step, "loader_state": loader_state,
+            "num_opt_leaves": len(opt_leaves)}
+    with open(path.replace(".npz", ".json"), "w") as f:
+        json.dump(meta, f)
+
+    # prune old checkpoints beyond max_to_keep
+    ckpts = sorted_checkpoints(directory, prefix)
+    for old in ckpts[:-max_to_keep]:
+        for ext in (".npz", ".json"):
+            try:
+                os.remove(old.replace(".npz", ext))
+            except OSError:
+                pass
+    return path
+
+
+def sorted_checkpoints(directory: str, prefix: str = "air-model"):
+    pat = re.compile(re.escape(prefix) + r"-(\d+)\.npz$")
+    found = []
+    if os.path.isdir(directory):
+        for name in os.listdir(directory):
+            m = pat.match(name)
+            if m:
+                found.append((int(m.group(1)), os.path.join(directory, name)))
+    return [p for _, p in sorted(found)]
+
+
+def latest_checkpoint(directory: str, prefix: str = "air-model"):
+    ckpts = sorted_checkpoints(directory, prefix)
+    return ckpts[-1] if ckpts else None
+
+
+def _unflatten_params(arrays: dict) -> dict:
+    tree: dict = {}
+    for key, value in arrays.items():
+        if not key.startswith("params/"):
+            continue
+        parts = key[len("params/"):].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return _listify(tree)
+
+
+def _listify(node):
+    """Convert {'0': ..., '1': ...} dicts (from flattened lists) to lists."""
+    if not isinstance(node, dict):
+        return node
+    keys = list(node.keys())
+    if keys and all(k.isdigit() for k in keys):
+        return [_listify(node[str(i)]) for i in range(len(keys))]
+    return {k: _listify(v) for k, v in node.items()}
+
+
+def load_checkpoint(path: str, config, loader=None) -> TrainState:
+    """Rebuild a TrainState from a checkpoint file. ``config`` recreates the
+    optimizer structure; ``loader`` (optional) is restored in place."""
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    params = _unflatten_params(arrays)
+    template = create_train_state(config, rng=0, params=params)
+    n = sum(1 for k in arrays if k.startswith("opt/"))
+    opt_leaves = [jnp.asarray(arrays[f"opt/{i}"]) for i in range(n)]
+    opt_state = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template.opt_state), opt_leaves)
+    key = jax.random.wrap_key_data(jnp.asarray(arrays["key"])) \
+        if arrays["key"].dtype == np.uint32 else jnp.asarray(arrays["key"])
+    state = template.replace(opt_state=opt_state,
+                             step=jnp.asarray(arrays["step"], jnp.int32),
+                             key=key)
+    meta_path = path.replace(".npz", ".json")
+    if loader is not None and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("loader_state"):
+            loader.restore(meta["loader_state"])
+    return state

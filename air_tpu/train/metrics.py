@@ -1,0 +1,140 @@
+"""Metric taxonomy + writers.
+
+Reproduces the reference's TensorBoard scalar taxonomy with static shapes:
+  * per-digit-count slices "<name>_<i>_dig" / "<name>_all_dig"
+    (reference air/air_model.py:160-182) — boolean_mask becomes a masked
+    mean (sum(x*m)/sum(m)) so everything stays jit-friendly;
+  * per-step slices "<name>_<s>_step..." with the same one_more_step /
+    all_steps variants (reference air/air_model.py:184-209).
+
+Sinks: JSONL (always), TensorBoard event files via tf.summary when
+TensorFlow is importable (optional, lazy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def masked_mean(values, mask):
+    values = jnp.asarray(values, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    denom = jnp.sum(mask)
+    return jnp.where(denom > 0, jnp.sum(values * mask) / denom, jnp.nan)
+
+
+def summarize_by_digit_count(tensor, digits, name: str, max_digits: int
+                             ) -> dict:
+    """"<name>_<i>_dig" for each digit count i plus "<name>_all_dig"
+    (reference air/air_model.py:160-182)."""
+    tensor = jnp.asarray(tensor, jnp.float32)
+    out = {}
+    for i in range(max_digits + 1):
+        out[f"{name}_{i}_dig"] = masked_mean(tensor, digits == i)
+    out[f"{name}_all_dig"] = jnp.mean(tensor)
+    return out
+
+
+def summarize_by_step(tensor, steps, digits, name: str, max_steps: int,
+                      max_digits: int, one_more_step: bool = False,
+                      all_steps: bool = False) -> dict:
+    """Per-step x per-digit-count slices (reference air/air_model.py:184-209).
+    ``tensor``: [B, max_steps]."""
+    tensor = jnp.asarray(tensor, jnp.float32)
+    out = {}
+    for i in range(max_steps):
+        step_name = f"{name}_{i + 1}_step"
+        if all_steps:
+            out.update(summarize_by_digit_count(
+                tensor[:, i], digits, step_name, max_digits))
+        else:
+            mask = steps > (i - 1 if one_more_step else i)
+            for d in range(max_digits + 1):
+                out[f"{step_name}_{d}_dig"] = masked_mean(
+                    tensor[:, i], mask & (digits == d))
+            out[f"{step_name}_all_dig"] = masked_mean(tensor[:, i], mask)
+    return out
+
+
+def summarize_outputs(out, targets, max_steps: int, max_digits: int) -> dict:
+    """The full post-loop scalar summary set of the reference
+    (air/air_model.py:613-625) from one AIROutputs batch."""
+    digits = jnp.asarray(targets, jnp.int32)
+    steps = out.rec_num_digits
+    summ = {}
+    summ.update(summarize_by_digit_count(
+        out.rec_num_digits, digits, "steps", max_digits))
+    summ.update(summarize_by_digit_count(
+        out.reconstruction_loss, digits, "rec_loss", max_digits))
+    acc = (digits == out.rec_num_digits).astype(jnp.float32)
+    summ.update(summarize_by_digit_count(acc, digits, "digit_acc", max_digits))
+    summ.update(summarize_by_digit_count(
+        out.per_example_loss, digits, "total_loss", max_digits))
+    summ.update(summarize_by_step(
+        out.rec_scales[:, :, 0], steps, digits, "scale", max_steps,
+        max_digits))
+    summ.update(summarize_by_step(
+        out.z_pres_probs, steps, digits, "z_pres_prob", max_steps, max_digits,
+        all_steps=True))
+    summ.update(summarize_by_step(
+        out.z_pres_kls, steps, digits, "z_pres_kl", max_steps, max_digits,
+        one_more_step=True))
+    summ.update(summarize_by_step(
+        out.scale_kls, steps, digits, "scale_kl", max_steps, max_digits))
+    summ.update(summarize_by_step(
+        out.shift_kls, steps, digits, "shift_kl", max_steps, max_digits))
+    summ.update(summarize_by_step(
+        out.vae_kls, steps, digits, "vae_kl", max_steps, max_digits))
+    summ["loss"] = out.loss
+    summ["accuracy"] = out.accuracy
+    return summ
+
+
+class MetricsWriter:
+    """JSONL metrics sink with optional TensorBoard mirroring."""
+
+    def __init__(self, directory: str, tensorboard: bool = False,
+                 filename: str = "metrics.jsonl"):
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, filename)
+        self._file = open(self.path, "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf  # optional, present in some images
+                self._tb = tf.summary.create_file_writer(directory)
+            except Exception:
+                self._tb = None
+
+    def write(self, step: int, scalars: dict, prefix: str = ""):
+        record = {"step": int(step), "time": time.time()}
+        flat = {}
+        for k, v in scalars.items():
+            if isinstance(v, dict):
+                for kk, vv in v.items():
+                    flat[f"{prefix}{k}/{kk}"] = vv
+            else:
+                flat[f"{prefix}{k}"] = v
+        for k, v in flat.items():
+            v = np.asarray(v)
+            record[k] = float(v) if v.size == 1 else v.tolist()
+        self._file.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in record.items():
+                    if k in ("step", "time"):
+                        continue
+                    if isinstance(v, float) and np.isfinite(v):
+                        tf.summary.scalar(k, v, step=step)
+            self._tb.flush()
+
+    def close(self):
+        self._file.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,97 @@
+"""Jitted train / eval steps.
+
+The train step is the whole reference per-iteration ``sess.run`` (reference
+training.py:210-225) as ONE fused XLA program: annealed hyperparameter
+resolution, forward scan, loss, backward, global-norm clipping, Adam update.
+Gradient diagnostics (pre/post-clip norms per variable, reference
+air/air_model.py:658-687) are available as a separate jitted variant so the
+hot path never pays for them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from air_tpu.models.config import AIRConfig
+from air_tpu.models.air import air_forward
+from air_tpu.ops.schedules import resolve_annealed
+from air_tpu.train.state import TrainState, make_optimizer
+
+
+def _global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree_util.tree_leaves(tree)))
+
+
+def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
+                    donate=True):
+    """Build a jitted ``train_step(state, images, targets) ->
+    (state, metrics)``."""
+    if optimizer is None:
+        optimizer = make_optimizer(config)
+
+    def train_step(state: TrainState, images, targets):
+        step = state.step
+        key = jax.random.fold_in(state.key, step)
+        hp = resolve_annealed(config.schedules, config.annealable_defaults(),
+                              step)
+
+        def loss_fn(params):
+            out = air_forward(params, config, images, targets, key,
+                              train=True, hparams=hp)
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=step + 1)
+        metrics = {
+            "loss": loss,
+            "accuracy": out.accuracy,
+            "reconstruction_loss": jnp.mean(out.reconstruction_loss),
+            "kl_loss": jnp.mean(out.kl_loss),
+            "grad_norm": _global_norm(grads),
+            "z_pres_prior_log_odds": jnp.asarray(
+                hp["z_pres_prior_log_odds"], jnp.float32),
+        }
+        if with_grad_stats:
+            # per-variable pre/post-clip gradient stats
+            # (reference air/air_model.py:658-687)
+            clipped = grads
+            if config.gradient_clipping_norm is not None:
+                clipped, _ = optax.clip_by_global_norm(
+                    config.gradient_clipping_norm).update(grads, optax.EmptyState())
+            flat = jax.tree_util.tree_leaves_with_path(grads)
+            flat_c = jax.tree_util.tree_leaves(clipped)
+            gstats = {}
+            for (path, g), gc in zip(flat, flat_c):
+                name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                for p in path)
+                gstats[name + "_grad_original_norm"] = jnp.linalg.norm(
+                    g.ravel())
+                gstats[name + "_grad_original_avg"] = jnp.mean(g)
+                gstats[name + "_grad_applied_norm"] = jnp.linalg.norm(
+                    gc.ravel())
+                gstats[name + "_grad_applied_avg"] = jnp.mean(gc)
+            metrics["grad_stats"] = gstats
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(config: AIRConfig):
+    """Jitted eval forward (train=False, z_pres rounded) returning the full
+    AIROutputs — the reference's test-model pass (training.py:95-125)."""
+
+    def eval_step(params, images, targets, key, step):
+        hp = resolve_annealed(config.schedules, config.annealable_defaults(),
+                              step)
+        return air_forward(params, config, images, targets, key,
+                           train=False, hparams=hp)
+
+    return jax.jit(eval_step)

@@ -1,0 +1,223 @@
+"""Training driver.
+
+The reference's ``training.py`` re-imagined for JAX/TPU, feature-complete:
+  * results folder layout with auto-renaming or overwrite
+    (reference training.py:42-62) + source snapshot provenance (63-71)
+  * tiered summary cadence 50/250/500 on the FULL test set through the
+    eval model, grad summaries every 100 on the train model
+    (reference training.py:20-26,167-218)
+  * checkpoints every 10k with ``max_to_keep=10000``
+    (reference training.py:141,203-207) — plus restore-or-init resume,
+    which the reference lacks
+  * per-iteration stdout line (reference training.py:226)
+
+One jitted step per iteration; data prefetched to device (depth 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from air_tpu.models.config import AIRConfig
+from air_tpu.train.state import create_train_state
+from air_tpu.train.steps import make_train_step, make_eval_step
+from air_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint, latest_checkpoint)
+from air_tpu.train.metrics import MetricsWriter, summarize_outputs
+from air_tpu.train.visualize import visualize_reconstructions, save_grid_png
+from air_tpu.data.loader import TrainLoader
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    results_folder: str = "air_results"
+    overwrite_results: bool = False
+    batch_size: int = 64
+    epochs: int | None = 300
+    max_iterations: int | None = None        # extra stop knob (reference: epochs only)
+    num_summaries_every: int = 50            # reference training.py:20
+    var_summaries_every: int = 250           # reference training.py:21
+    img_summaries_every: int = 500           # reference training.py:22
+    grad_summaries_every: int = 100          # reference training.py:24
+    save_params_every: int = 10000           # reference training.py:25
+    num_images_to_save: int = 60             # reference training.py:26
+    eval_batch_size: int = 1000
+    seed: int = 0
+    log_every: int = 1                       # stdout cadence
+    source_snapshot: bool = True
+    tensorboard: bool = False
+    resume: bool = True
+
+
+def prepare_results_folder(cfg: TrainerConfig) -> str:
+    """Create results dirs; auto-rename unless overwriting
+    (reference training.py:42-62)."""
+    folder = cfg.results_folder
+    if os.path.exists(folder):
+        if cfg.overwrite_results:
+            shutil.rmtree(folder, ignore_errors=True)
+        elif not cfg.resume or latest_checkpoint(
+                os.path.join(folder, "models")) is None:
+            base, i = folder, 0
+            folder = f"{base}_{i}"
+            while os.path.exists(folder):
+                i += 1
+                folder = f"{base}_{i}"
+    for sub in ("models", "summary", "source"):
+        os.makedirs(os.path.join(folder, sub), exist_ok=True)
+    return folder
+
+
+def snapshot_source(folder: str):
+    """Copy the framework source next to the results — cheap provenance
+    (reference training.py:63-71)."""
+    import air_tpu
+    src_root = os.path.dirname(os.path.abspath(air_tpu.__file__))
+    dst = os.path.join(folder, "source", "air_tpu")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src_root, dst,
+                    ignore=shutil.ignore_patterns("__pycache__", "*.so"))
+
+
+class Trainer:
+    def __init__(self, model_config: AIRConfig, trainer_config: TrainerConfig,
+                 train_data, test_data):
+        """``train_data``: AIRREC path or (images, digits);
+        ``test_data``: (images [N, canvas^2], digits [N]) numpy arrays."""
+        self.config = model_config.replace(train=True)
+        self.tcfg = trainer_config
+        self.folder = prepare_results_folder(trainer_config)
+        self.models_dir = os.path.join(self.folder, "models")
+        self.summary_dir = os.path.join(self.folder, "summary")
+        if trainer_config.source_snapshot:
+            snapshot_source(self.folder)
+
+        self.device = jax.devices()[0]
+        self.loader = TrainLoader(
+            train_data, trainer_config.batch_size,
+            epochs=trainer_config.epochs, seed=trainer_config.seed,
+            prefetch=2, device_put=lambda b: jax.device_put(b, self.device))
+        self.test_images, self.test_digits = test_data
+
+        self.train_step = make_train_step(self.config)
+        self.train_step_gs = make_train_step(self.config,
+                                             with_grad_stats=True,
+                                             donate=False)
+        self.eval_step = make_eval_step(self.config)
+        self.metrics = MetricsWriter(self.summary_dir,
+                                     tensorboard=trainer_config.tensorboard)
+
+        self.state = create_train_state(self.config, rng=trainer_config.seed)
+        if trainer_config.resume:
+            ckpt = latest_checkpoint(self.models_dir)
+            if ckpt:
+                self.state = load_checkpoint(ckpt, self.config, self.loader)
+                print(f"resumed from {ckpt} at step {int(self.state.step)}")
+
+    # -- evaluation over the full test set in fixed-size chunks ---------------
+    def evaluate(self, step: int):
+        eb = self.tcfg.eval_batch_size
+        n = len(self.test_images)
+        outs = []
+        key = jax.random.fold_in(jax.random.PRNGKey(self.tcfg.seed ^ 0x5EED),
+                                 step)
+        for lo in range(0, n, eb):
+            imgs = self.test_images[lo:lo + eb]
+            digs = self.test_digits[lo:lo + eb]
+            pad = eb - len(imgs)
+            if pad:
+                imgs = np.concatenate([imgs, np.zeros((pad, imgs.shape[1]),
+                                                      imgs.dtype)])
+                digs = np.concatenate([digs, np.zeros(pad, digs.dtype)])
+            out = self.eval_step(self.state.params, jnp.asarray(imgs),
+                                 jnp.asarray(digs),
+                                 jax.random.fold_in(key, lo), step)
+            outs.append(jax.device_get(out))
+        # concatenate chunk outputs (per-example fields), trim padding, and
+        # recompute the scalar aggregates from the trimmed arrays
+        merged = jax.tree_util.tree_map(
+            lambda *xs: (np.concatenate(xs)[:n] if np.ndim(xs[0]) > 0
+                         else xs[0]), *outs)
+        merged = merged._replace(
+            loss=np.mean(merged.per_example_loss),
+            accuracy=np.mean(
+                (merged.rec_num_digits
+                 == np.asarray(self.test_digits, np.int32)).astype(
+                     np.float32)))
+        return merged
+
+    def write_eval_summaries(self, step: int, with_images: bool):
+        out = self.evaluate(step)
+        summ = summarize_outputs(out, self.test_digits, self.config.max_steps,
+                                 self.config.max_digits)
+        self.metrics.write(step, summ, prefix="test/")
+        if with_images:
+            k = self.tcfg.num_images_to_save
+            grid = visualize_reconstructions(
+                self.test_images[:k], out.reconstruction[:k],
+                out.rec_st_back[:k], out.rec_num_digits[:k],
+                self.config.canvas_size, self.config.windows_size, zoom=2)
+            save_grid_png(os.path.join(self.summary_dir,
+                                       f"reconstruction_{step}.png"), grid)
+        return float(summ["accuracy"])
+
+    # -- main loop -------------------------------------------------------------
+    def train(self):
+        tcfg = self.tcfg
+        t_start = time.time()
+        images_seen = 0
+        step = int(self.state.step)
+        print(f"training: batch={tcfg.batch_size} epochs={tcfg.epochs} "
+              f"start_step={step}")
+        for images, targets in self.loader:
+            step = int(self.state.step)
+            if tcfg.max_iterations is not None and step >= tcfg.max_iterations:
+                break
+
+            if step % tcfg.num_summaries_every == 0:
+                with_images = step % tcfg.img_summaries_every == 0
+                acc = self.write_eval_summaries(step, with_images)
+                print(f"[eval @ {step}] test accuracy {acc:.4f}")
+
+            if step % tcfg.save_params_every == 0:
+                save_checkpoint(self.models_dir, self.state, step,
+                                loader_state=self.loader.state())
+
+            if tcfg.grad_summaries_every and \
+                    step % tcfg.grad_summaries_every == 0:
+                self.state, metrics = self.train_step_gs(
+                    self.state, images, targets)
+                gstats = metrics.pop("grad_stats")
+                self.metrics.write(step, gstats, prefix="grad/")
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, images, targets)
+
+            images_seen += tcfg.batch_size
+            if step % tcfg.log_every == 0:
+                loss = float(metrics["loss"])
+                acc = float(metrics["accuracy"])
+                print(f"iteration {step + 1}\tloss {loss:.3f}\t"
+                      f"accuracy {acc:.2f}")
+                self.metrics.write(step, {k: v for k, v in metrics.items()},
+                                   prefix="train/")
+
+        # final eval + checkpoint
+        final_step = int(self.state.step)
+        acc = self.write_eval_summaries(final_step, with_images=True)
+        save_checkpoint(self.models_dir, self.state, final_step,
+                        loader_state=self.loader.state())
+        wall = time.time() - t_start
+        ips = images_seen / wall if wall > 0 else 0.0
+        print(f"training has ended: step {final_step}, "
+              f"test accuracy {acc:.4f}, {ips:.0f} images/sec")
+        return {"step": final_step, "test_accuracy": acc,
+                "images_per_sec": ips}

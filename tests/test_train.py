@@ -1,0 +1,264 @@
+"""Training layer tests: step, checkpoint resume, metrics taxonomy,
+visualization, end-to-end convergence smoke."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from air_tpu.models.config import AIRConfig
+from air_tpu.train.state import create_train_state, make_optimizer
+from air_tpu.train.steps import make_train_step, make_eval_step
+from air_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint, latest_checkpoint, sorted_checkpoints)
+from air_tpu.train.metrics import (
+    MetricsWriter, summarize_by_digit_count, summarize_by_step,
+    summarize_outputs, masked_mean)
+from air_tpu.train.trainer import Trainer, TrainerConfig
+from tests.test_model import SMALL
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    """Seeded mini multi-'MNIST' on a 20x20 canvas: blobs of 0-2 squares."""
+    rng = np.random.default_rng(0)
+    n = 256
+    cs = SMALL.canvas_size
+    images = np.zeros((n, cs, cs), np.float32)
+    digits = rng.integers(0, 3, n).astype(np.int32)
+    for i in range(n):
+        for _ in range(digits[i]):
+            x, y = rng.integers(1, cs - 7, 2)
+            images[i, y:y + 6, x:x + 6] = 1.0
+    return images.reshape(n, -1), digits
+
+
+def test_train_step_updates_and_steps(tiny_dataset):
+    images, digits = tiny_dataset
+    state = create_train_state(SMALL, rng=0)
+    step_fn = make_train_step(SMALL, donate=False)
+    new_state, metrics = step_fn(state, jnp.asarray(images[:16]),
+                                 jnp.asarray(digits[:16]))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        new_state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_grad_clipping_applied(tiny_dataset):
+    images, digits = tiny_dataset
+    cfg = SMALL.replace(gradient_clipping_norm=1e-6)
+    state = create_train_state(cfg, rng=0)
+    step_fn = make_train_step(cfg, donate=False)
+    new_state, _ = step_fn(state, jnp.asarray(images[:8]),
+                           jnp.asarray(digits[:8]))
+    # with near-zero clip, update magnitude is bounded by adam lr scale
+    delta = jax.tree_util.tree_map(lambda a, b: jnp.max(jnp.abs(a - b)),
+                                   state.params, new_state.params)
+    assert max(float(x) for x in jax.tree_util.tree_leaves(delta)) < 0.1
+
+
+def test_grad_stats_variant(tiny_dataset):
+    images, digits = tiny_dataset
+    state = create_train_state(SMALL, rng=0)
+    step_fn = make_train_step(SMALL, with_grad_stats=True, donate=False)
+    _, metrics = step_fn(state, jnp.asarray(images[:8]),
+                         jnp.asarray(digits[:8]))
+    gs = metrics["grad_stats"]
+    assert any(k.endswith("_grad_original_norm") for k in gs)
+    assert any(k.endswith("_grad_applied_norm") for k in gs)
+    # applied norm <= original norm (clipping)
+    for k in list(gs):
+        if k.endswith("_grad_original_norm"):
+            base = k[:-len("_grad_original_norm")]
+            assert float(gs[base + "_grad_applied_norm"]) <= \
+                float(gs[k]) + 1e-6
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_dataset):
+    images, digits = tiny_dataset
+    state = create_train_state(SMALL, rng=0)
+    step_fn = make_train_step(SMALL, donate=False)
+    for _ in range(3):
+        state, _ = step_fn(state, jnp.asarray(images[:8]),
+                           jnp.asarray(digits[:8]))
+    path = save_checkpoint(str(tmp_path), state,
+                           loader_state={"epoch": 1, "index": 24, "seed": 0})
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    restored = load_checkpoint(path, SMALL)
+    assert int(restored.step) == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, restored.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.opt_state, restored.opt_state)
+
+    # training continues identically from the restored state
+    s1, m1 = step_fn(state, jnp.asarray(images[:8]), jnp.asarray(digits[:8]))
+    s2, m2 = step_fn(restored, jnp.asarray(images[:8]),
+                     jnp.asarray(digits[:8]))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+
+
+def test_checkpoint_max_to_keep(tmp_path):
+    state = create_train_state(SMALL, rng=0)
+    for s in range(5):
+        save_checkpoint(str(tmp_path), state, step=s, max_to_keep=2)
+    kept = sorted_checkpoints(str(tmp_path))
+    assert len(kept) == 2
+    assert kept[-1].endswith("air-model-4.npz")
+
+
+def test_masked_mean_and_digit_slices():
+    vals = jnp.array([1.0, 2.0, 3.0, 4.0])
+    digits = jnp.array([0, 1, 1, 2])
+    assert float(masked_mean(vals, digits == 1)) == 2.5
+    s = summarize_by_digit_count(vals, digits, "x", max_digits=2)
+    assert float(s["x_0_dig"]) == 1.0
+    assert float(s["x_1_dig"]) == 2.5
+    assert float(s["x_all_dig"]) == 2.5
+    # empty slice -> nan, not crash (reference boolean_mask mean of empty)
+    s3 = summarize_by_digit_count(vals, digits, "x", max_digits=3)
+    assert np.isnan(float(s3["x_3_dig"]))
+
+
+def test_summarize_by_step_masks():
+    tensor = jnp.arange(6, dtype=jnp.float32).reshape(2, 3)
+    steps = jnp.array([1, 3])
+    digits = jnp.array([1, 2])
+    s = summarize_by_step(tensor, steps, digits, "kl", 3, 2)
+    # step 2 (i=1): only item with steps>1 (item 1, value 4.0)
+    assert float(s["kl_2_step_all_dig"]) == 4.0
+    # one_more_step: steps > i-1 -> step 2 includes item 0 as well
+    s2 = summarize_by_step(tensor, steps, digits, "kl", 3, 2,
+                           one_more_step=True)
+    np.testing.assert_allclose(float(s2["kl_2_step_all_dig"]), 2.5)
+    # all_steps ignores masks entirely
+    s3 = summarize_by_step(tensor, steps, digits, "p", 3, 2, all_steps=True)
+    np.testing.assert_allclose(float(s3["p_1_step_all_dig"]), 1.5)
+
+
+def test_summarize_outputs_keys(tiny_dataset):
+    images, digits = tiny_dataset
+    state = create_train_state(SMALL, rng=0)
+    eval_fn = make_eval_step(SMALL)
+    out = eval_fn(state.params, jnp.asarray(images[:32]),
+                  jnp.asarray(digits[:32]), jax.random.PRNGKey(0), 0)
+    s = summarize_outputs(out, digits[:32], SMALL.max_steps, SMALL.max_digits)
+    for want in ["steps_all_dig", "rec_loss_0_dig", "digit_acc_2_dig",
+                 "total_loss_all_dig", "scale_1_step_all_dig",
+                 "z_pres_prob_3_step_1_dig", "z_pres_kl_1_step_all_dig",
+                 "vae_kl_2_step_0_dig", "loss", "accuracy"]:
+        assert want in s, want
+
+
+def test_metrics_writer(tmp_path):
+    w = MetricsWriter(str(tmp_path))
+    w.write(5, {"loss": jnp.asarray(1.5), "nested": {"a": 2.0}}, prefix="t/")
+    w.close()
+    import json
+    rec = json.loads(open(os.path.join(str(tmp_path),
+                                       "metrics.jsonl")).read())
+    assert rec["step"] == 5
+    assert rec["t/loss"] == 1.5
+    assert rec["t/nested/a"] == 2.0
+
+
+def test_visualization_grid(tiny_dataset):
+    from air_tpu.train.visualize import (visualize_reconstructions,
+                                         save_grid_png, attention_boxes)
+    images, digits = tiny_dataset
+    state = create_train_state(SMALL, rng=0)
+    eval_fn = make_eval_step(SMALL)
+    out = eval_fn(state.params, jnp.asarray(images[:4]),
+                  jnp.asarray(digits[:4]), jax.random.PRNGKey(0), 0)
+    cs = SMALL.canvas_size
+    grid = visualize_reconstructions(images[:4], out.reconstruction,
+                                     out.rec_st_back, out.rec_num_digits,
+                                     cs, SMALL.windows_size, zoom=2)
+    assert grid.shape == (4, 2 * cs, 2 * (2 * cs) + 4, 3)
+    assert grid.min() >= 0.0 and grid.max() <= 1.0
+    boxes = attention_boxes(out.rec_st_back, SMALL.windows_size, 2 * cs)
+    assert set(np.unique(np.asarray(boxes))) <= {0.0, 1.0}
+
+
+def test_trainer_end_to_end_smoke(tmp_path, tiny_dataset):
+    """Short training run: loss decreases, checkpoints + metrics written,
+    resume continues from the saved step (SURVEY.md §4 smoke test)."""
+    images, digits = tiny_dataset
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "results"), batch_size=32,
+        epochs=None, max_iterations=30, num_summaries_every=10,
+        img_summaries_every=20, grad_summaries_every=15,
+        save_params_every=10, eval_batch_size=64, seed=0, log_every=10,
+        source_snapshot=False)
+    trainer = Trainer(SMALL, tcfg, (images, digits),
+                      (images[:64], digits[:64]))
+    result = trainer.train()
+    assert result["step"] == 30
+    models = sorted_checkpoints(os.path.join(str(tmp_path / "results"),
+                                             "models"))
+    assert len(models) >= 3
+    assert os.path.exists(os.path.join(str(tmp_path / "results"), "summary",
+                                       "metrics.jsonl"))
+    # image grids written at steps 0 and 20
+    assert os.path.exists(os.path.join(str(tmp_path / "results"), "summary",
+                                       "reconstruction_0.png"))
+
+    # resume: a new trainer picks up at step 30
+    trainer2 = Trainer(SMALL, TrainerConfig(
+        results_folder=str(tmp_path / "results"), batch_size=32,
+        epochs=None, max_iterations=35, num_summaries_every=1000,
+        save_params_every=1000, grad_summaries_every=0,
+        eval_batch_size=64, seed=0, log_every=100, source_snapshot=False),
+        (images, digits), (images[:64], digits[:64]))
+    assert int(trainer2.state.step) == 30
+    r2 = trainer2.train()
+    assert r2["step"] == 35
+
+
+def test_loss_decreases_over_training():
+    """Convergence smoke (SURVEY.md §4): overfit a centered blob with a
+    reachable attention window and annealed z_pres prior; smoothed loss must
+    drop. (AIR is noisy and slow at unfavorable configs — the window must be
+    able to see the object for reconstruction gradients to exist, which is
+    precisely why the reference anneals the z_pres prior and uses
+    scale_prior_mean=-1 on big 50x50 canvases.)"""
+    cfg = AIRConfig(
+        max_steps=1, max_digits=1, rnn_units=32, canvas_size=20,
+        windows_size=8, vae_latent_dimensions=6,
+        vae_recognition_units=(32, 16), vae_generative_units=(16, 32),
+        scale_hidden_units=8, shift_hidden_units=8, z_pres_hidden_units=8,
+        cnn=False, train=True,
+        scale_prior_mean=2.0, scale_prior_variance=0.01,
+        vae_likelihood_std=0.0, learning_rate=3e-3,
+        gradient_clipping_norm=100.0,
+        annealing_schedules={"z_pres_prior_log_odds": {
+            "init": 10000.0, "min": 1e-9, "factor": 0.1, "iters": 100000,
+            "log": True}})
+    cs = cfg.canvas_size
+    img = np.zeros((cs, cs), np.float32)
+    img[7:13, 7:13] = 1.0
+    images = jnp.asarray(np.tile(img.reshape(1, -1), (32, 1)))
+    digits = jnp.ones(32, jnp.int32)
+    state = create_train_state(cfg, rng=0)
+    step_fn = make_train_step(cfg, donate=False)
+    recons = []
+    for _ in range(500):
+        state, m = step_fn(state, images, digits)
+        assert np.isfinite(float(m["loss"]))
+        recons.append(float(m["reconstruction_loss"]))
+    # the blank-canvas local optimum pays -log(eps) on every lit pixel;
+    # a learning model must end meaningfully below it
+    blank_level = float(img.sum()) * -np.log(10e-10)
+    assert np.mean(recons[-50:]) < 0.85 * blank_level

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""AIR training driver CLI.
+
+Parity surface with the reference driver (reference training.py:35-39):
+``-r/--results-folder``, ``-o/--overwrite-results``, ``-t/--reader-threads``,
+plus TPU-era extensions (step cap, data/config overrides, resume).
+
+Default behavior mirrors the reference exactly: 300 epochs x batch 64 over
+multi_mnist_data/common.airrec with the reference hyperparameters
+(reference training.py:100-123), tiered test-set summaries, checkpoints
+every 10k iterations.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-r", "--results-folder", default="air_results")
+    parser.add_argument("-o", "--overwrite-results", type=int,
+                        choices=[0, 1], default=0)
+    parser.add_argument("-t", "--reader-threads", type=int, default=4)
+    parser.add_argument("--train-data",
+                        default="multi_mnist_data/common.airrec")
+    parser.add_argument("--test-data", default="multi_mnist_data/test.airrec")
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--epochs", type=int, default=300)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="cap on training iterations (default: epochs)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--synthetic-data", type=int, default=0,
+                        help="if no dataset exists, generate one with N "
+                             "images per digit stratum first")
+    # model overrides
+    parser.add_argument("--max-steps", type=int, default=3)
+    parser.add_argument("--max-digits", type=int, default=2)
+    parser.add_argument("--rnn-units", type=int, default=256)
+    parser.add_argument("--canvas-size", type=int, default=50)
+    parser.add_argument("--windows-size", type=int, default=28)
+    parser.add_argument("--vae-latent", type=int, default=50)
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--stopping-threshold", type=float, default=0.99)
+    parser.add_argument("--cnn", action="store_true")
+    args = parser.parse_args()
+
+    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    from air_tpu.data.loader import load_test_data
+
+    # generate a dataset on the fly if asked and absent
+    if args.synthetic_data and not os.path.exists(args.train_data):
+        print(f"generating synthetic dataset "
+              f"({args.synthetic_data} images/stratum)...")
+        from air_tpu.data import get_mnist, generate_dataset, MultiMNISTConfig
+        digits, labels, source = get_mnist("mnist_data")
+        print(f"digit source: {source}")
+        out_dir = os.path.dirname(args.train_data) or "."
+        cfg = MultiMNISTConfig(
+            max_digits=args.max_digits, max_in_common=args.max_digits,
+            images_per_digit=args.synthetic_data,
+            test_set_size=min(1000, args.synthetic_data),
+            canvas_size=args.canvas_size, seed=args.seed)
+        generate_dataset(digits, labels, cfg, out_dir=out_dir,
+                         progress=lambda d, n: print(f"  {d}-digit: {n}"))
+
+    if not os.path.exists(args.train_data):
+        sys.exit(f"training data not found: {args.train_data} "
+                 f"(run scripts/generate_multi_mnist.py or pass "
+                 f"--synthetic-data N)")
+
+    model_config = DEFAULT_TRAINING_CONFIG.replace(
+        max_steps=args.max_steps, max_digits=args.max_digits,
+        rnn_units=args.rnn_units, canvas_size=args.canvas_size,
+        windows_size=args.windows_size,
+        vae_latent_dimensions=args.vae_latent,
+        learning_rate=args.learning_rate,
+        stopping_threshold=args.stopping_threshold,
+        cnn=args.cnn,
+    )
+    trainer_config = TrainerConfig(
+        results_folder=args.results_folder,
+        overwrite_results=bool(args.overwrite_results),
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        max_iterations=args.steps,
+        seed=args.seed,
+        resume=not args.no_resume,
+        tensorboard=args.tensorboard,
+    )
+
+    test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
+    trainer = Trainer(model_config, trainer_config, args.train_data,
+                      test_data)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
