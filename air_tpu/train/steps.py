@@ -26,9 +26,10 @@ def _global_norm(tree) -> jnp.ndarray:
 
 
 def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
-                    donate=True):
-    """Build a jitted ``train_step(state, images, targets) ->
-    (state, metrics)``."""
+                    donate=True, jit=True):
+    """Build a ``train_step(state, images, targets) -> (state, metrics)``;
+    jitted unless ``jit=False`` (the parallel layer jits with explicit
+    shardings instead)."""
     if optimizer is None:
         optimizer = make_optimizer(config)
 
@@ -81,11 +82,13 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
             metrics["grad_stats"] = gstats
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(config: AIRConfig):
-    """Jitted eval forward (train=False, z_pres rounded) returning the full
+def make_eval_step(config: AIRConfig, jit=True):
+    """Eval forward (train=False, z_pres rounded) returning the full
     AIROutputs — the reference's test-model pass (training.py:95-125)."""
 
     def eval_step(params, images, targets, key, step):
@@ -94,4 +97,4 @@ def make_eval_step(config: AIRConfig):
         return air_forward(params, config, images, targets, key,
                            train=False, hparams=hp)
 
-    return jax.jit(eval_step)
+    return jax.jit(eval_step) if jit else eval_step

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: AIR training throughput (images/sec) on the current device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+``vs_baseline`` divides by the reference-stand-in CPU throughput of the
+same training step (the reference publishes no throughput numbers —
+BASELINE.md: the CPU denominator must be measured locally; the TF1
+reference itself cannot run in this image, so the semantically-identical
+JAX step on one CPU host is the stand-in). The CPU number is cached in
+baseline_cpu.json; pass --measure-cpu to refresh it (runs a subprocess
+pinned to the CPU platform).
+
+Config: the reference default training config (batch 64, 50x50 canvas,
+3 steps, 256-LSTM — reference training.py:100-123). --batch-size to probe
+other sizes; --eval to benchmark inference instead of training.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(HERE, "baseline_cpu.json")
+
+
+def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
+            seed: int = 0) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG as CFG
+    from air_tpu.train.state import create_train_state
+    from air_tpu.train.steps import make_train_step, make_eval_step
+
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(rng.uniform(
+        size=(batch_size, CFG.canvas_size ** 2)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 3, batch_size).astype(np.int32))
+
+    state = create_train_state(CFG, rng=seed)
+    if eval_mode:
+        eval_step = make_eval_step(CFG)
+        key = jax.random.PRNGKey(0)
+
+        def run_once(i):
+            return eval_step(state.params, images, targets,
+                             jax.random.fold_in(key, i),
+                             jnp.zeros((), jnp.int32)).per_example_loss
+        out = run_once(0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        compile_time = t0  # already compiled above
+        for i in range(warmup):
+            out = run_once(i)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            out = run_once(i)
+        jax.block_until_ready(out)
+        elapsed = time.perf_counter() - t0
+    else:
+        train_step = make_train_step(CFG, donate=True)
+        tc0 = time.perf_counter()
+        state, m = train_step(state, images, targets)
+        jax.block_until_ready(m["loss"])
+        compile_time = time.perf_counter() - tc0
+        for _ in range(warmup):
+            state, m = train_step(state, images, targets)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = train_step(state, images, targets)
+        jax.block_until_ready(m["loss"])
+        elapsed = time.perf_counter() - t0
+
+    ips = batch_size * steps / elapsed
+    return {
+        "images_per_sec": ips,
+        "step_ms": 1000.0 * elapsed / steps,
+        "compile_s": compile_time,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "batch_size": batch_size,
+    }
+
+
+def measure_cpu_subprocess(batch_size: int, steps: int = 10) -> dict:
+    """Run the same measurement pinned to CPU in a child process."""
+    code = (
+        "import jax, json, sys; jax.config.update('jax_platforms','cpu'); "
+        f"sys.path.insert(0, {HERE!r}); "
+        "from bench import measure; "
+        f"print('CPURESULT' + json.dumps(measure({batch_size}, {steps}, 2, "
+        "False)))"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("CPURESULT"):
+            return json.loads(line[len("CPURESULT"):])
+    raise RuntimeError(f"cpu measurement failed: {out.stderr[-2000:]}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--measure-cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.measure_cpu or not os.path.exists(BASELINE_FILE):
+        print("measuring CPU baseline...", file=sys.stderr)
+        cpu = measure_cpu_subprocess(args.batch_size)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"train_b64": cpu}, f, indent=1)
+        print(f"cpu baseline: {cpu['images_per_sec']:.1f} images/sec",
+              file=sys.stderr)
+
+    with open(BASELINE_FILE) as f:
+        baseline = json.load(f)["train_b64"]["images_per_sec"]
+
+    result = measure(args.batch_size, args.steps, args.warmup, args.eval)
+    print(f"device={result['device']} step={result['step_ms']:.2f}ms "
+          f"compile={result['compile_s']:.1f}s", file=sys.stderr)
+
+    mode = "infer" if args.eval else "train"
+    print(json.dumps({
+        "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}",
+        "value": round(result["images_per_sec"], 1),
+        "unit": "images/sec",
+        "vs_baseline": round(result["images_per_sec"] / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Multi-device (8 virtual CPU) data-parallel tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from air_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from air_tpu.parallel.train_parallel import (
+    make_parallel_train_step, make_parallel_eval_step, shard_batch)
+from air_tpu.train.state import create_train_state
+from air_tpu.train.steps import make_train_step
+from tests.test_model import SMALL
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    images = rng.uniform(size=(32, SMALL.canvas_size ** 2)).astype(np.float32)
+    digits = rng.integers(0, 3, 32).astype(np.int32)
+    return images, digits
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(8, model_axis=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(6, model_axis=4)
+
+
+def test_shard_batch_placement(batch):
+    images, digits = batch
+    mesh = make_mesh(8)
+    si, sd = shard_batch(mesh, images, digits)
+    assert si.sharding == batch_sharding(mesh)
+    # each device holds 32/8 = 4 rows
+    assert si.addressable_shards[0].data.shape == (4, SMALL.canvas_size ** 2)
+    np.testing.assert_array_equal(np.asarray(si), images)
+
+
+def test_parallel_train_step_runs_and_replicates(batch):
+    images, digits = batch
+    mesh = make_mesh(8)
+    state = create_train_state(SMALL, rng=0)
+    rep = replicated(mesh)
+    state = jax.device_put(state, rep)
+    step = make_parallel_train_step(SMALL, mesh, donate=False)
+    si, sd = shard_batch(mesh, images, digits)
+    new_state, metrics = step(state, si, sd)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # updated params are replicated across all 8 devices
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_parallel_matches_single_device(batch):
+    """DP over 8 devices must give the same loss/update as one device on the
+    same total batch (up to fp reassociation in the all-reduce)."""
+    images, digits = batch
+    mesh = make_mesh(8)
+    state_p = jax.device_put(create_train_state(SMALL, rng=0),
+                             replicated(mesh))
+    state_s = create_train_state(SMALL, rng=0)
+
+    pstep = make_parallel_train_step(SMALL, mesh, donate=False)
+    sstep = make_train_step(SMALL, donate=False)
+
+    si, sd = shard_batch(mesh, images, digits)
+    new_p, m_p = pstep(state_p, si, sd)
+    new_s, m_s = sstep(state_s, jnp.asarray(images), jnp.asarray(digits))
+
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_p["accuracy"]),
+                               float(m_s["accuracy"]), rtol=1e-6)
+    # parameters after one update agree
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        new_p.params, new_s.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_parallel_eval_step(batch):
+    images, digits = batch
+    mesh = make_mesh(8)
+    state = jax.device_put(create_train_state(SMALL, rng=0), replicated(mesh))
+    estep = make_parallel_eval_step(SMALL, mesh)
+    si, sd = shard_batch(mesh, images, digits)
+    out = estep(state.params, si, sd,
+                jax.device_put(jax.random.PRNGKey(0), replicated(mesh)),
+                jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)))
+    assert out.reconstruction.shape == (32, SMALL.canvas_size ** 2)
+    assert np.isfinite(np.asarray(out.per_example_loss)).all()
+
+
+def test_multichip_dryrun_entrypoint():
+    """The driver-facing dryrun compiles + executes the full training step
+    on an 8-device mesh."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(4)
