@@ -100,17 +100,26 @@ class TrainLoader:
             self.index = 0
 
     def __iter__(self):
-        if self.prefetch <= 0 or self.device_put is None:
-            yield from self._iter_host()
+        if self.prefetch <= 0:
+            if self.device_put is None:
+                yield from self._iter_host()
+            else:
+                for batch in self._iter_host():
+                    yield self.device_put(batch)
             return
 
+        # The producer thread assembles HOST batches only (numpy + native
+        # gather, GIL-released); device_put happens on the consumer thread.
+        # Rationale: issuing transfers from a second thread can deadlock the
+        # experimental axon TPU client, and JAX dispatch is async anyway —
+        # the consumer's device_put overlaps with the in-flight step.
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def producer():
             try:
                 for batch in self._iter_host():
-                    q.put(self.device_put(batch))
+                    q.put(batch)
             finally:
                 q.put(stop)
 
@@ -120,7 +129,7 @@ class TrainLoader:
             item = q.get()
             if item is stop:
                 break
-            yield item
+            yield self.device_put(item) if self.device_put else item
 
 
 def load_test_data(path: str, shift_zero_digits_images: bool = True):

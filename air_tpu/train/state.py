@@ -46,12 +46,30 @@ def make_optimizer(config: AIRConfig) -> optax.GradientTransformation:
 
 def create_train_state(config: AIRConfig, rng: jax.Array | int = 0,
                        params: Any | None = None) -> TrainState:
+    """Build the initial TrainState as ONE jitted program.
+
+    Eager init dispatches ~100 tiny ops (weight inits + Adam slots), each
+    paying a full compile round-trip on remote-tunneled TPUs (minutes);
+    fused under jit it is a single compile.
+    """
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
-    k_init, k_train = jax.random.split(rng)
-    if params is None:
-        params = init_air_params(k_init, config)
     optimizer = make_optimizer(config)
-    opt_state = optimizer.init(params)
-    return TrainState(params=params, opt_state=opt_state,
-                      step=jnp.zeros((), jnp.int32), key=k_train)
+
+    if params is not None:
+        @jax.jit
+        def _init_opt(params):
+            return optimizer.init(params)
+        k_init, k_train = jax.random.split(rng)
+        return TrainState(params=params, opt_state=_init_opt(params),
+                          step=jnp.zeros((), jnp.int32), key=k_train)
+
+    @jax.jit
+    def _init(rng):
+        k_init, k_train = jax.random.split(rng)
+        params = init_air_params(k_init, config)
+        opt_state = optimizer.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32), key=k_train)
+
+    return _init(rng)

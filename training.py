@@ -30,6 +30,11 @@ def main():
     parser.add_argument("--steps", type=int, default=None,
                         help="cap on training iterations (default: epochs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-every", type=int, default=50)
+    parser.add_argument("--img-every", type=int, default=500)
+    parser.add_argument("--save-every", type=int, default=10000)
+    parser.add_argument("--grad-every", type=int, default=100)
+    parser.add_argument("--log-every", type=int, default=1)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--tensorboard", action="store_true")
     parser.add_argument("--synthetic-data", type=int, default=0,
@@ -87,6 +92,12 @@ def main():
         batch_size=args.batch_size,
         epochs=args.epochs,
         max_iterations=args.steps,
+        num_summaries_every=args.eval_every,
+        var_summaries_every=max(args.eval_every * 5, 1),
+        img_summaries_every=args.img_every,
+        grad_summaries_every=args.grad_every,
+        save_params_every=args.save_every,
+        log_every=args.log_every,
         seed=args.seed,
         resume=not args.no_resume,
         tensorboard=args.tensorboard,
