@@ -97,8 +97,10 @@ def synthesize_mnist(n: int = 60000, seed: int = 0):
     fonts = [p for p in _FONT_PATHS if os.path.exists(p)]
     if not fonts:
         raise RuntimeError("no TTF fonts found for synthetic MNIST")
-    # pre-load a grid of (font, size) variants
-    sizes = list(range(18, 27))
+    # pre-load a grid of (font, size) variants; sizes/strokes chosen so the
+    # ink statistics match MNIST (~150 ink px at ~0.75 mean intensity —
+    # AIR's attention bootstrap is sensitive to ink mass)
+    sizes = list(range(20, 29))
     loaded = {}
     for fp in fonts:
         for s in sizes:
@@ -113,14 +115,15 @@ def synthesize_mnist(n: int = 60000, seed: int = 0):
         font = loaded[(fonts[rng.integers(len(fonts))],
                        sizes[rng.integers(len(sizes))])]
         img = Image.new("L", (big, big), 0)
+        stroke = int(rng.integers(1, 3))
         ImageDraw.Draw(img).text((big // 3, big // 6), str(digit),
-                                 fill=255, font=font)
-        # small random affine: rotation +- 12 deg, shear, jitter
+                                 fill=255, font=font,
+                                 stroke_width=stroke, stroke_fill=255)
+        # small random affine: rotation +- 12 deg, jitter
         angle = rng.uniform(-12, 12)
         img = img.rotate(angle, resample=Image.BILINEAR,
                          center=(big // 2, big // 2))
-        if rng.uniform() < 0.5:
-            img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.2, 0.7)))
+        img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 0.8)))
         arr = np.asarray(img, np.float32) / 255.0
         # crop tightly around ink, then paste centered-with-jitter into 28x28
         ys, xs = np.nonzero(arr > 0.05)
@@ -144,8 +147,8 @@ def synthesize_mnist(n: int = 60000, seed: int = 0):
             ox = np.clip(ox, 0, IMAGE_SIZE - cw)
             canvas[oy:oy + ch, ox:ox + cw] = crop
             arr = canvas
-        arr *= rng.uniform(0.75, 1.0)
-        images[i] = np.clip(arr, 0.0, 1.0).ravel()
+        arr *= rng.uniform(0.9, 1.0)
+        images[i] = np.clip(arr * 1.4, 0.0, 1.0).ravel()
 
     return images, labels
 

@@ -108,6 +108,13 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     cs = config.canvas_size
     threshold = hp["stopping_threshold"]
 
+    if config.st_impl == "pallas":
+        from air_tpu.kernels.st_pallas import (
+            pallas_attention_read as st_read,
+            pallas_attention_write as st_write)
+    else:
+        st_read, st_write = attention_read, attention_write
+
     # RNN time step (air/air_model.py:284-286)
     outputs, lstm_state = lstm_apply(params["lstm"], lstm_state, rnn_input)
 
@@ -128,7 +135,7 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     x, y = shift[:, 0], shift[:, 1]
 
     # forward ST: canvas -> window (air/air_model.py:322-333), MXU path
-    window = attention_read(images_2d, s, x, y, ws).reshape(batch, ws * ws)
+    window = st_read(images_2d, s, x, y, ws).reshape(batch, ws * ws)
 
     # VAE on the flattened window (air/air_model.py:335-349)
     vae_recon, vae_mean, vae_log_variance, vae_latent = vae_apply(
@@ -143,8 +150,7 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     ], axis=1)                                                # [B, 2, 3]
 
     # backward ST: window -> canvas (air/air_model.py:362-366), MXU path
-    window_recon = attention_write(
-        vae_recon.reshape(batch, ws, ws), s, x, y, cs)
+    window_recon = st_write(vae_recon.reshape(batch, ws, ws), s, x, y, cs)
 
     # z_pres head -> Concrete sample (air/air_model.py:368-396)
     z_pres_log_odds = two_layer_head_apply(

@@ -80,6 +80,10 @@ class AIRConfig:
     scope: str = "air"       # inert in JAX (kept for surface parity)
     # --- annealing (reference air/air_model.py:22,94-121) ---
     annealing_schedules: Any = None
+    # --- TPU execution knobs (no reference counterpart) ---
+    # spatial-transformer implementation: "xla" (separable matmuls) or
+    # "pallas" (fused kernel, air_tpu/kernels/st_pallas.py)
+    st_impl: str = "xla"
 
     def __post_init__(self):
         object.__setattr__(self, "vae_recognition_units",

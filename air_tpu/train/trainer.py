@@ -54,6 +54,10 @@ class TrainerConfig:
     source_snapshot: bool = True
     tensorboard: bool = False
     resume: bool = True
+    # device-resident pipeline: dataset in HBM, K steps fused per dispatch
+    # (air_tpu/train/fast_pipeline.py) — the TPU-native input path
+    device_data: bool = False
+    multi_step: int = 50
 
 
 def prepare_results_folder(cfg: TrainerConfig) -> str:
@@ -101,10 +105,21 @@ class Trainer:
             snapshot_source(self.folder)
 
         self.device = jax.devices()[0]
-        self.loader = TrainLoader(
-            train_data, trainer_config.batch_size,
-            epochs=trainer_config.epochs, seed=trainer_config.seed,
-            prefetch=2, device_put=lambda b: jax.device_put(b, self.device))
+        if trainer_config.device_data:
+            from air_tpu.train.fast_pipeline import DeviceDataPipeline
+            if isinstance(train_data, str):
+                from air_tpu.data.records import read_records
+                rec = read_records(train_data)
+                train_data = (rec["images"], rec["digits"])
+            self.loader = DeviceDataPipeline(
+                train_data[0], train_data[1], trainer_config.batch_size,
+                seed=trainer_config.seed, device=self.device)
+        else:
+            self.loader = TrainLoader(
+                train_data, trainer_config.batch_size,
+                epochs=trainer_config.epochs, seed=trainer_config.seed,
+                prefetch=2,
+                device_put=lambda b: jax.device_put(b, self.device))
         self.test_images, self.test_digits = test_data
 
         self.train_step = make_train_step(self.config)
@@ -169,8 +184,89 @@ class Trainer:
                                        f"reconstruction_{step}.png"), grid)
         return float(summ["accuracy"])
 
+    # -- device-resident loop ---------------------------------------------------
+    def _train_device_data(self):
+        """Steady-state loop with zero per-step host traffic: K steps fused
+        per dispatch, batches gathered from HBM inside the scan."""
+        from air_tpu.train.fast_pipeline import make_multi_step
+        tcfg = self.tcfg
+        K = tcfg.multi_step
+        multi = make_multi_step(self.config, K, tcfg.batch_size)
+        single = make_multi_step(self.config, 1, tcfg.batch_size)
+
+        cadences = [c for c in (tcfg.num_summaries_every,
+                                tcfg.save_params_every,
+                                tcfg.img_summaries_every, tcfg.log_every)
+                    if c and c > 0]
+
+        def next_event(step):
+            nxt = min(((step // c) + 1) * c for c in cadences) \
+                if cadences else step + K
+            return nxt
+
+        t_start = time.time()
+        images_seen = 0
+        step = int(self.state.step)          # tracked host-side from here on
+        total_epochs = tcfg.epochs if tcfg.epochs is not None else 10 ** 9
+        max_iters = tcfg.max_iterations
+        last_metrics = None
+        print(f"training[device-data]: batch={tcfg.batch_size} "
+              f"K={K} epochs={tcfg.epochs} start_step={step}")
+
+        while self.loader.epoch < total_epochs:
+            if max_iters is not None and step >= max_iters:
+                break
+            if step % tcfg.num_summaries_every == 0:
+                acc = self.write_eval_summaries(
+                    step, step % tcfg.img_summaries_every == 0)
+                print(f"[eval @ {step}] test accuracy {acc:.4f}")
+            if step % tcfg.save_params_every == 0:
+                save_checkpoint(self.models_dir, self.state, step,
+                                loader_state=self.loader.state())
+
+            k = self.loader.chunk(K)
+            k = min(k, max(next_event(step) - step, 1))
+            if max_iters is not None:
+                k = min(k, max_iters - step)
+            fn = multi if k == K else single
+            reps = 1 if k == K else k
+            for _ in range(reps):
+                self.state, metrics = fn(
+                    self.state, self.loader.images, self.loader.digits,
+                    self.loader.perm(), jnp.asarray(self.loader.index,
+                                                    jnp.int32))
+                self.loader.advance(1 if reps > 1 else k)
+            step += k
+            images_seen += k * tcfg.batch_size
+            last_metrics = metrics
+
+            if step % tcfg.log_every == 0 or \
+                    (tcfg.log_every and step // tcfg.log_every
+                     != (step - k) // tcfg.log_every):
+                loss = float(jnp.mean(metrics["loss"]))
+                acc = float(jnp.mean(metrics["accuracy"]))
+                print(f"iteration {step}\tloss {loss:.3f}\t"
+                      f"accuracy {acc:.2f}")
+                self.metrics.write(
+                    step, {name: float(jnp.mean(v))
+                           for name, v in metrics.items()
+                           if not isinstance(v, dict)}, prefix="train/")
+
+        final_step = step
+        acc = self.write_eval_summaries(final_step, with_images=True)
+        save_checkpoint(self.models_dir, self.state, final_step,
+                        loader_state=self.loader.state())
+        wall = time.time() - t_start
+        ips = images_seen / wall if wall > 0 else 0.0
+        print(f"training has ended: step {final_step}, "
+              f"test accuracy {acc:.4f}, {ips:.0f} images/sec")
+        return {"step": final_step, "test_accuracy": acc,
+                "images_per_sec": ips}
+
     # -- main loop -------------------------------------------------------------
     def train(self):
+        if self.tcfg.device_data:
+            return self._train_device_data()
         tcfg = self.tcfg
         t_start = time.time()
         images_seen = 0

@@ -1,0 +1,121 @@
+"""Device-resident multi-step pipeline: exact equivalence with the
+single-step path, epoch bookkeeping, trainer integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from air_tpu.train.fast_pipeline import (
+    make_multi_step, device_epoch_perm, DeviceDataPipeline)
+from air_tpu.train.state import create_train_state
+from air_tpu.train.steps import make_train_step
+from tests.test_model import SMALL
+
+
+def _data(n=64):
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(n, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, n).astype(np.int32)
+    return images, digits
+
+
+def test_multi_step_equals_single_steps():
+    images, digits = _data(64)
+    B, K = 8, 4
+    perm = device_epoch_perm(64, seed=3, epoch=0)
+
+    state_m = create_train_state(SMALL, rng=0)
+    multi = make_multi_step(SMALL, K, B, donate=False)
+    new_m, metrics = multi(state_m, jnp.asarray(images), jnp.asarray(digits),
+                           perm, jnp.asarray(0, jnp.int32))
+    assert metrics["loss"].shape == (K,)
+
+    state_s = create_train_state(SMALL, rng=0)
+    single = make_train_step(SMALL, donate=False)
+    perm_h = np.asarray(perm)
+    losses = []
+    for i in range(K):
+        idx = perm_h[i * B:(i + 1) * B]
+        state_s, m = single(state_s, jnp.asarray(images[idx]),
+                            jnp.asarray(digits[idx]))
+        losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), losses,
+                               rtol=2e-4)
+    assert int(new_m.step) == int(state_s.step) == K
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        new_m.params, state_s.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_multi_step_start_offset():
+    """Starting at batch index s must consume batches s..s+K-1."""
+    images, digits = _data(64)
+    B, K = 8, 2
+    perm = device_epoch_perm(64, seed=1, epoch=0)
+    state = create_train_state(SMALL, rng=0)
+    multi = make_multi_step(SMALL, K, B, donate=False)
+    _, m_at_3 = multi(state, jnp.asarray(images), jnp.asarray(digits), perm,
+                      jnp.asarray(3, jnp.int32))
+    # same state, same batches via explicit gather
+    single = make_train_step(SMALL, donate=False)
+    perm_h = np.asarray(perm)
+    idx = perm_h[3 * B:4 * B]
+    _, m0 = single(create_train_state(SMALL, rng=0),
+                   jnp.asarray(images[idx]), jnp.asarray(digits[idx]))
+    np.testing.assert_allclose(float(m_at_3["loss"][0]), float(m0["loss"]),
+                               rtol=2e-4)
+
+
+def test_device_epoch_perm_deterministic():
+    p1 = np.asarray(device_epoch_perm(100, seed=5, epoch=2))
+    p2 = np.asarray(device_epoch_perm(100, seed=5, epoch=2))
+    p3 = np.asarray(device_epoch_perm(100, seed=5, epoch=3))
+    np.testing.assert_array_equal(p1, p2)
+    assert not np.array_equal(p1, p3)
+    np.testing.assert_array_equal(np.sort(p1), np.arange(100))
+
+
+def test_pipeline_bookkeeping_and_resume():
+    images, digits = _data(40)
+    p = DeviceDataPipeline(images, digits, batch_size=8, seed=0)
+    assert p.batches_per_epoch == 5
+    assert p.chunk(3) == 3
+    p.advance(3)
+    assert p.chunk(10) == 2          # only 2 batches left in epoch
+    p.advance(2)
+    assert p.chunk(10) == 5          # rolled into next epoch
+    assert p.epoch == 1
+
+    state = p.state()
+    q = DeviceDataPipeline(images, digits, batch_size=8, seed=0)
+    q.restore(state)
+    assert q.epoch == 1 and q.index == 0
+    np.testing.assert_array_equal(np.asarray(p.perm()), np.asarray(q.perm()))
+
+
+def test_trainer_device_data_smoke(tmp_path):
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    images, digits = _data(128)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "results"), batch_size=16,
+        epochs=None, max_iterations=20, num_summaries_every=10,
+        img_summaries_every=20, grad_summaries_every=0,
+        save_params_every=10, eval_batch_size=64, seed=0, log_every=5,
+        source_snapshot=False, device_data=True, multi_step=5)
+    trainer = Trainer(SMALL, tcfg, (images, digits),
+                      (images[:64], digits[:64]))
+    result = trainer.train()
+    assert result["step"] == 20
+    # resume continues
+    trainer2 = Trainer(SMALL, TrainerConfig(
+        results_folder=str(tmp_path / "results"), batch_size=16,
+        epochs=None, max_iterations=25, num_summaries_every=1000,
+        save_params_every=1000, grad_summaries_every=0, eval_batch_size=64,
+        seed=0, log_every=100, source_snapshot=False, device_data=True,
+        multi_step=5), (images, digits), (images[:64], digits[:64]))
+    assert int(trainer2.state.step) == 20
+    r2 = trainer2.train()
+    assert r2["step"] == 25

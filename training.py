@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--log-every", type=int, default=1)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--device-data", action="store_true",
+                        help="device-resident dataset + K fused steps per "
+                             "dispatch (fastest on TPU)")
+    parser.add_argument("--multi-step", type=int, default=50)
     parser.add_argument("--synthetic-data", type=int, default=0,
                         help="if no dataset exists, generate one with N "
                              "images per digit stratum first")
@@ -101,6 +105,8 @@ def main():
         seed=args.seed,
         resume=not args.no_resume,
         tensorboard=args.tensorboard,
+        device_data=args.device_data,
+        multi_step=args.multi_step,
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
