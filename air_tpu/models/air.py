@@ -263,15 +263,21 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
         return jnp.moveaxis(a, 0, 1)
 
     # reconstruction: clip + pixel-wise BCE (reference air/air_model.py:580-590).
-    # log(max(x, eps)) instead of log(x + eps): XLA reassociates the latter
-    # and constant-folds the eps away near 1.0 (fp32), yielding log(0) = -inf
-    # when a canvas pixel saturates; max() is reassociation-proof and equal
-    # to the reference at fp32 precision.
+    # The log(x + eps) form is load-bearing for training dynamics: at ink
+    # pixels where the canvas is (near-)zero, dL/d(recon) ~ 1/eps = 1e9,
+    # which — multiplied by the nonzero d(recon)/d(shift,scale) on each
+    # attention window's bilinear fringe — is the force that pulls windows
+    # toward unexplained ink (the AIR localization bootstrap). A
+    # log(max(x, eps)) formulation zeroes that force once the canvas goes
+    # blank and the model never recovers (observed: recon stuck at the
+    # blank-canvas optimum for 100k+ steps). optimization_barrier blocks
+    # the XLA reassociation that otherwise folds the eps away near 1.0
+    # (fp32) and produced log(0) = -inf.
     reconstruction = jnp.clip(running_recon, 0.0, 1.0)
+    one_minus = jax.lax.optimization_barrier(1.0 - reconstruction)
     reconstruction_loss = -jnp.sum(
-        images * jnp.log(jnp.maximum(reconstruction, RECON_EPS))
-        + (1.0 - images) * jnp.log(jnp.maximum(1.0 - reconstruction,
-                                               RECON_EPS)),
+        images * jnp.log(reconstruction + RECON_EPS)
+        + (1.0 - images) * jnp.log(one_minus + RECON_EPS),
         axis=1)
 
     per_example_loss = running_loss + reconstruction_loss

@@ -40,11 +40,17 @@ def _pixel_coords(coords: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 def _corner_weights(p: jnp.ndarray, dim: int):
-    """Floor/ceil corner indices (clamped) and their linear weights.
+    """CLAMPED floor/ceil corner indices and their linear weights.
 
     Out-of-range samples produce ``lo == hi`` after clamping, making
     ``w_lo + w_hi == 0`` — i.e. implicit zero padding, exactly like the
     reference's clip-then-weight order (air/transformer.py:79-116).
+
+    Training-dynamics caveat: because the cancellation is built from the
+    clamped (constant) indices, the VALUE is zero outside the support AND
+    its derivative w.r.t. p is exactly zero there — a sample that has
+    slipped off the image gets no coordinate gradient. See
+    ``_axis_weight_matrix(pad_mode=...)``.
     """
     p0 = jnp.floor(p)
     lo = jnp.clip(p0.astype(jnp.int32), 0, dim - 1)
@@ -57,17 +63,41 @@ def _corner_weights(p: jnp.ndarray, dim: int):
 
 
 def _axis_weight_matrix(scale: jnp.ndarray, shift: jnp.ndarray,
-                        out_dim: int, in_dim: int) -> jnp.ndarray:
+                        out_dim: int, in_dim: int,
+                        pad_mode: str = "zeros") -> jnp.ndarray:
     """Per-batch bilinear interpolation matrix for one axis.
 
     Returns W of shape [B, out_dim, in_dim] with
     ``W[b, i, j] = w_lo * [j == lo] + w_hi * [j == hi]`` for the source
     coordinate of output position i under ``src = scale * t_i + shift``.
+
+    pad_mode:
+      * ``"zeros"`` (default): true zero padding — corner indices are NOT
+        clamped; an out-of-range corner contributes nothing (``one_hot`` of
+        an out-of-range index is the zero vector), so the value decays
+        linearly to zero over the one-pixel band outside the support and
+        carries a nonzero coordinate gradient there. This gradient —
+        amplified by the BCE's 1/eps at unexplained ink — is the force that
+        pulls AIR's attention windows toward objects; without it training
+        collapses to the blank-canvas optimum (verified empirically against
+        an independent torch/grid_sample implementation).
+      * ``"clamp_cancel"``: the reference's clip-then-weight quirk
+        (air/transformer.py:79-116) — identical values except inside that
+        one-pixel band (where it is exactly 0), but zero gradient off the
+        support. Kept for value-parity testing.
     """
     t = jnp.linspace(-1.0, 1.0, out_dim)                       # [out]
     src = scale[:, None] * t[None, :] + shift[:, None]         # [B, out]
     p = _pixel_coords(src, in_dim)
-    lo, hi, w_lo, w_hi = _corner_weights(p, in_dim)
+    if pad_mode == "clamp_cancel":
+        lo, hi, w_lo, w_hi = _corner_weights(p, in_dim)
+    elif pad_mode == "zeros":
+        lo = jnp.floor(p).astype(jnp.int32)
+        hi = lo + 1
+        w_lo = (lo + 1).astype(p.dtype) - p
+        w_hi = p - lo.astype(p.dtype)
+    else:
+        raise ValueError(f"unknown pad_mode: {pad_mode!r}")
     w = (jax.nn.one_hot(lo, in_dim, dtype=p.dtype) * w_lo[..., None]
          + jax.nn.one_hot(hi, in_dim, dtype=p.dtype) * w_hi[..., None])
     return w                                                    # [B, out, in]
@@ -76,17 +106,20 @@ def _axis_weight_matrix(scale: jnp.ndarray, shift: jnp.ndarray,
 def separable_transform(images: jnp.ndarray,
                         sx: jnp.ndarray, sy: jnp.ndarray,
                         tx: jnp.ndarray, ty: jnp.ndarray,
-                        out_size: tuple[int, int]) -> jnp.ndarray:
+                        out_size: tuple[int, int],
+                        pad_mode: str = "zeros") -> jnp.ndarray:
     """Resample [B, H, W] images under theta = [[sx,0,tx],[0,sy,ty]].
 
     MXU path: builds per-axis interpolation matrices and contracts
     ``out = Wy @ im @ Wx^T``. Differentiable w.r.t. images and all of
-    sx/sy/tx/ty (gradients flow through the bilinear weights).
+    sx/sy/tx/ty (gradients flow through the bilinear weights; see
+    ``_axis_weight_matrix`` for the off-support gradient semantics of
+    ``pad_mode``).
     """
     _, in_h, in_w = images.shape
     out_h, out_w = out_size
-    wy = _axis_weight_matrix(sy, ty, out_h, in_h)     # [B, out_h, in_h]
-    wx = _axis_weight_matrix(sx, tx, out_w, in_w)     # [B, out_w, in_w]
+    wy = _axis_weight_matrix(sy, ty, out_h, in_h, pad_mode)  # [B, oh, ih]
+    wx = _axis_weight_matrix(sx, tx, out_w, in_w, pad_mode)  # [B, ow, iw]
     # [B,out_h,in_h] @ [B,in_h,in_w] -> [B,out_h,in_w]; then @ [B,in_w,out_w]
     tmp = jnp.einsum("bij,bjk->bik", wy, images,
                      preferred_element_type=images.dtype)
@@ -97,25 +130,29 @@ def separable_transform(images: jnp.ndarray,
 
 def attention_read(images: jnp.ndarray, s: jnp.ndarray,
                    x: jnp.ndarray, y: jnp.ndarray,
-                   window_size: int) -> jnp.ndarray:
+                   window_size: int, pad_mode: str = "zeros") -> jnp.ndarray:
     """Canvas -> attention window under forward theta [[s,0,x],[0,s,y]].
 
-    Equivalent to reference air/air_model.py:322-333 (transformer call with
-    the forward ST theta).
+    Value-equivalent to reference air/air_model.py:322-333 (transformer
+    with the forward ST theta) except in the one-pixel off-support band —
+    see ``_axis_weight_matrix`` for why ``pad_mode="zeros"`` is the
+    training default.
     """
-    return separable_transform(images, s, s, x, y, (window_size, window_size))
+    return separable_transform(images, s, s, x, y,
+                               (window_size, window_size), pad_mode)
 
 
 def attention_write(windows: jnp.ndarray, s: jnp.ndarray,
                     x: jnp.ndarray, y: jnp.ndarray,
-                    canvas_size: int) -> jnp.ndarray:
+                    canvas_size: int, pad_mode: str = "zeros") -> jnp.ndarray:
     """Window -> canvas under backward theta [[1/s,0,-x/s],[0,1/s,-y/s]].
 
-    Equivalent to reference air/air_model.py:351-366.
+    Value-equivalent to reference air/air_model.py:351-366 (same band
+    caveat as ``attention_read``).
     """
     inv_s = 1.0 / s
     return separable_transform(windows, inv_s, inv_s, -x * inv_s, -y * inv_s,
-                               (canvas_size, canvas_size))
+                               (canvas_size, canvas_size), pad_mode)
 
 
 def affine_grid(theta: jnp.ndarray, out_size: tuple[int, int]) -> jnp.ndarray:

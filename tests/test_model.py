@@ -77,9 +77,10 @@ def test_scan_equals_python_loop(small_setup):
                          carry, step_keys[i])
     _, _, running_recon, running_loss, running_digits = carry
     recon = jnp.clip(running_recon, 0.0, 1.0)
+    one_minus = jax.lax.optimization_barrier(1 - recon)
     rec_loss = -jnp.sum(
-        images * jnp.log(jnp.maximum(recon, RECON_EPS))
-        + (1 - images) * jnp.log(jnp.maximum(1 - recon, RECON_EPS)), 1)
+        images * jnp.log(recon + RECON_EPS)
+        + (1 - images) * jnp.log(one_minus + RECON_EPS), 1)
     np.testing.assert_allclose(np.asarray(out.kl_loss),
                                np.asarray(running_loss), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.reconstruction_loss),

@@ -43,9 +43,42 @@ def test_separable_matches_general_for_axis_aligned(rng):
     theta, s, tx, ty = make_thetas(rng, b)
     got = np.asarray(separable_transform(
         jnp.asarray(images), jnp.asarray(s), jnp.asarray(s),
-        jnp.asarray(tx), jnp.asarray(ty), (28, 28)))
+        jnp.asarray(tx), jnp.asarray(ty), (28, 28),
+        pad_mode="clamp_cancel"))
     want = np_transformer(images, theta, (28, 28))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_zeros_pad_matches_clamp_inside_support(rng):
+    """pad_mode='zeros' equals the reference semantics everywhere except
+    the 1-px off-support band, and carries a nonzero coordinate gradient
+    off-support (the AIR localization bootstrap force — see
+    ops/transformer.py)."""
+    b = 4
+    images = jnp.asarray(rng.uniform(size=(b, 30, 30)).astype(np.float32))
+    s = jnp.full((b,), 0.4)
+    tx = jnp.full((b,), 0.1)
+    ty = jnp.full((b,), -0.2)
+    a = separable_transform(images, s, s, tx, ty, (12, 12), "zeros")
+    c = separable_transform(images, s, s, tx, ty, (12, 12), "clamp_cancel")
+    # fully inside the canvas -> identical
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+    # a window hanging off the canvas edge: values differ only in the
+    # decay band; zeros-mode has nonzero d/dshift there, clamp-mode zero
+    tx_edge = jnp.full((b,), 1.05)    # sample band beyond the right edge
+
+    def edge_sum(mode):
+        def f(t):
+            return jnp.sum(separable_transform(
+                images, jnp.full((b,), 0.02), jnp.full((b,), 0.02),
+                t, jnp.zeros((b,)), (4, 4), mode))
+        return jax.grad(f)(tx_edge)
+
+    g_zeros = np.asarray(edge_sum("zeros"))
+    g_clamp = np.asarray(edge_sum("clamp_cancel"))
+    assert np.any(g_zeros != 0)
+    np.testing.assert_allclose(g_clamp, 0.0, atol=1e-6)
 
 
 def test_out_of_range_samples_are_zero(rng):
@@ -122,7 +155,11 @@ def test_separable_grad_matches_general_grad(rng, seed):
     ty = jnp.asarray(r.uniform(-0.5, 0.5, b).astype(np.float32))
 
     def loss_sep(s, tx, ty):
-        return jnp.sum(separable_transform(images, s, s, tx, ty, (12, 12)) ** 2)
+        # clamp_cancel: the gather path implements the reference's clipped
+        # indexing, so gradients only agree in that mode (zeros-mode adds
+        # the off-support decay band on purpose)
+        return jnp.sum(separable_transform(images, s, s, tx, ty, (12, 12),
+                                           "clamp_cancel") ** 2)
 
     def loss_gen(s, tx, ty):
         z = jnp.zeros_like(s)
