@@ -231,6 +231,9 @@ class MultiMNISTConfig:
     canvas_size: int = 50
     image_size: int = 28
     seed: int = 0
+    # procedural background (air_tpu.data.backgrounds) as an alternative to
+    # bg_path: one of noise/gradient/stripes/blobs/checker, or "" for none
+    bg_kind: str = ""
 
 
 def generate_dataset(single_images, single_labels, config: MultiMNISTConfig,
@@ -247,7 +250,14 @@ def generate_dataset(single_images, single_labels, config: MultiMNISTConfig,
     cfg = config
     rng = np.random.default_rng(cfg.seed)
     stream = DigitStream(len(single_images), rng)
-    bg = read_image(cfg.bg_path, cfg.bg_max_intensity) if cfg.bg_path else None
+    if cfg.bg_path:
+        bg = read_image(cfg.bg_path, cfg.bg_max_intensity)
+    elif cfg.bg_kind:
+        from air_tpu.data.backgrounds import generate_background
+        bg = generate_background(cfg.bg_kind, cfg.canvas_size, cfg.seed,
+                                 cfg.bg_max_intensity)
+    else:
+        bg = None
     if bg is not None and bg.shape != (cfg.canvas_size, cfg.canvas_size):
         # center-crop / tile the background to canvas size
         bh, bw = bg.shape

@@ -110,10 +110,14 @@ def _step(params: dict, config: AIRConfig, hp: dict,
 
     if config.st_impl == "pallas":
         from air_tpu.kernels.st_pallas import (
-            pallas_attention_read as st_read,
-            pallas_attention_write as st_write)
+            pallas_attention_read, pallas_attention_write)
+        st_read, st_write = pallas_attention_read, pallas_attention_write
     else:
-        st_read, st_write = attention_read, attention_write
+        import functools
+        st_read = functools.partial(attention_read,
+                                    pad_mode=config.st_pad_mode)
+        st_write = functools.partial(attention_write,
+                                     pad_mode=config.st_pad_mode)
 
     # RNN time step (air/air_model.py:284-286)
     outputs, lstm_state = lstm_apply(params["lstm"], lstm_state, rnn_input)

@@ -84,6 +84,12 @@ class AIRConfig:
     # spatial-transformer implementation: "xla" (separable matmuls) or
     # "pallas" (fused kernel, air_tpu/kernels/st_pallas.py)
     st_impl: str = "xla"
+    # off-support ST boundary semantics: "zeros" (true zero padding with
+    # off-support coordinate gradients — required for the localization
+    # bootstrap, see ops/transformer.py) or "clamp_cancel" (the reference's
+    # exact quirk; value-identical except a 1-px band, but gradient-dead
+    # off-support — training collapses)
+    st_pad_mode: str = "zeros"
 
     def __post_init__(self):
         object.__setattr__(self, "vae_recognition_units",

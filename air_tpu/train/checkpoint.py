@@ -119,6 +119,15 @@ def _listify(node):
     return {k: _listify(v) for k, v in node.items()}
 
 
+def load_params(path: str) -> dict:
+    """Load just the parameter pytree from a checkpoint (works for both
+    full training checkpoints and params-only inference checkpoints like
+    the shipped model/air-model-*.npz)."""
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    return _unflatten_params(arrays)
+
+
 def load_checkpoint(path: str, config, loader=None) -> TrainState:
     """Rebuild a TrainState from a checkpoint file. ``config`` recreates the
     optimizer structure; ``loader`` (optional) is restored in place."""
@@ -127,11 +136,18 @@ def load_checkpoint(path: str, config, loader=None) -> TrainState:
     params = _unflatten_params(arrays)
     template = create_train_state(config, rng=0, params=params)
     n = sum(1 for k in arrays if k.startswith("opt/"))
-    opt_leaves = [jnp.asarray(arrays[f"opt/{i}"]) for i in range(n)]
-    opt_state = jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(template.opt_state), opt_leaves)
-    key = jax.random.wrap_key_data(jnp.asarray(arrays["key"])) \
-        if arrays["key"].dtype == np.uint32 else jnp.asarray(arrays["key"])
+    if n == 0:
+        # params-only checkpoint: fresh optimizer state
+        opt_state = template.opt_state
+    else:
+        opt_leaves = [jnp.asarray(arrays[f"opt/{i}"]) for i in range(n)]
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template.opt_state), opt_leaves)
+    if "key" in arrays:
+        key = jax.random.wrap_key_data(jnp.asarray(arrays["key"])) \
+            if arrays["key"].dtype == np.uint32 else jnp.asarray(arrays["key"])
+    else:
+        key = template.key
     state = template.replace(opt_state=opt_state,
                              step=jnp.asarray(arrays["step"], jnp.int32),
                              key=key)

@@ -28,14 +28,29 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(HERE, "baseline_cpu.json")
 
 
+def get_config(name: str):
+    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    if name == "default":
+        return DEFAULT_TRAINING_CONFIG
+    if name == "scaled":
+        # BASELINE.json config 4: 100x100 canvas, 512-LSTM, 100-dim VAE
+        # latent, 28x28 window, batch 1024 on a single chip
+        return DEFAULT_TRAINING_CONFIG.replace(
+            canvas_size=100, rnn_units=512, vae_latent_dimensions=100)
+    if name == "harder":
+        # BASELINE.json config 3: 0-3 digits, max 5 steps, backgrounds
+        return DEFAULT_TRAINING_CONFIG.replace(max_steps=5, max_digits=3)
+    raise SystemExit(f"unknown --config {name}")
+
+
 def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
-            seed: int = 0) -> dict:
+            seed: int = 0, config: str = "default") -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG as CFG
     from air_tpu.train.state import create_train_state
     from air_tpu.train.steps import make_train_step, make_eval_step
+    CFG = get_config(config)
 
     rng = np.random.default_rng(seed)
     images = jnp.asarray(rng.uniform(
@@ -114,6 +129,8 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--config", default="default",
+                        choices=["default", "scaled", "harder"])
     parser.add_argument("--measure-cpu", action="store_true")
     args = parser.parse_args()
 
@@ -128,13 +145,15 @@ def main():
     with open(BASELINE_FILE) as f:
         baseline = json.load(f)["train_b64"]["images_per_sec"]
 
-    result = measure(args.batch_size, args.steps, args.warmup, args.eval)
+    result = measure(args.batch_size, args.steps, args.warmup, args.eval,
+                     config=args.config)
     print(f"device={result['device']} step={result['step_ms']:.2f}ms "
           f"compile={result['compile_s']:.1f}s", file=sys.stderr)
 
     mode = "infer" if args.eval else "train"
+    suffix = "" if args.config == "default" else f"_{args.config}"
     print(json.dumps({
-        "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}",
+        "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}{suffix}",
         "value": round(result["images_per_sec"], 1),
         "unit": "images/sec",
         "vs_baseline": round(result["images_per_sec"] / baseline, 2),

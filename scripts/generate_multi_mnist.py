@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--digit-gap", type=int, default=0)
     parser.add_argument("--canvas-margin", type=int, default=0)
     parser.add_argument("--bg-path", default="")
+    parser.add_argument("--bg-kind", default="", help="procedural background: "
+                        "noise|gradient|stripes|blobs|checker")
     parser.add_argument("--bg-max-intensity", type=float, default=1.0)
     parser.add_argument("--min-width-scale", type=float, default=1.0)
     parser.add_argument("--max-width-scale", type=float, default=1.0)
@@ -50,7 +52,8 @@ def main():
         images_per_digit=args.images_per_digit,
         test_set_size=args.test_set_size,
         digit_gap=args.digit_gap, canvas_margin=args.canvas_margin,
-        bg_path=args.bg_path, bg_max_intensity=args.bg_max_intensity,
+        bg_path=args.bg_path, bg_kind=args.bg_kind,
+        bg_max_intensity=args.bg_max_intensity,
         min_width_scale=args.min_width_scale,
         max_width_scale=args.max_width_scale,
         min_height_scale=args.min_height_scale,

@@ -273,3 +273,27 @@ def test_train_loader_native_backend(digits_pool):
     # every record appears exactly once per epoch
     seen = np.concatenate([b[1] for b in batches])
     assert len(seen) == 64
+
+
+def test_procedural_backgrounds():
+    from air_tpu.data.backgrounds import generate_background, background_bank
+    for kind in ["noise", "gradient", "stripes", "blobs", "checker"]:
+        bg = generate_background(kind, 50, seed=1, max_intensity=0.3)
+        assert bg.shape == (50, 50)
+        assert bg.min() >= 0.0 and bg.max() <= 0.3 + 1e-6
+        # deterministic
+        np.testing.assert_array_equal(
+            bg, generate_background(kind, 50, seed=1, max_intensity=0.3))
+    bank = background_bank(50, seed=0)
+    assert len(bank) == 19   # same count as the reference's backgrounds/
+
+
+def test_generate_dataset_with_procedural_bg(digits_pool):
+    images, labels = digits_pool
+    cfg = MultiMNISTConfig(max_digits=1, max_in_common=1, images_per_digit=3,
+                           test_set_size=1, bg_kind="noise",
+                           bg_max_intensity=0.3)
+    out = generate_dataset(images, labels, cfg)
+    zero = [im for im, d in zip(out["common"]["images"],
+                                out["common"]["digits"]) if d == 0]
+    assert zero and np.asarray(zero[0]).sum() > 0   # background ink present
