@@ -95,6 +95,24 @@ def summarize_outputs(out, targets, max_steps: int, max_digits: int) -> dict:
     return summ
 
 
+def variable_summaries(params) -> dict:
+    """Per-variable distribution stats — the JSONL counterpart of the
+    reference's per-variable histograms (reference air/air_model.py:643-649).
+    """
+    import jax
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        leaf = jnp.asarray(leaf)
+        out[f"{name}/norm"] = jnp.linalg.norm(leaf.ravel())
+        out[f"{name}/mean"] = jnp.mean(leaf)
+        out[f"{name}/std"] = jnp.std(leaf)
+        out[f"{name}/min"] = jnp.min(leaf)
+        out[f"{name}/max"] = jnp.max(leaf)
+    return out
+
+
 class MetricsWriter:
     """JSONL metrics sink with optional TensorBoard mirroring."""
 

@@ -220,9 +220,26 @@ class Trainer:
                 acc = self.write_eval_summaries(
                     step, step % tcfg.img_summaries_every == 0)
                 print(f"[eval @ {step}] test accuracy {acc:.4f}")
+                if step % tcfg.var_summaries_every == 0:
+                    from air_tpu.train.metrics import variable_summaries
+                    self.metrics.write(step,
+                                       variable_summaries(self.state.params),
+                                       prefix="var/")
             if step % tcfg.save_params_every == 0:
                 save_checkpoint(self.models_dir, self.state, step,
                                 loader_state=self.loader.state())
+            if tcfg.grad_summaries_every and \
+                    step % tcfg.grad_summaries_every == 0:
+                # one instrumented single step on the next batch (the fused
+                # multi-step cannot expose per-variable grads)
+                idx = jax.lax.dynamic_slice(
+                    self.loader.perm(),
+                    (self.loader.index * tcfg.batch_size,),
+                    (tcfg.batch_size,))
+                imgs = jnp.take(self.loader.images, idx, axis=0)
+                digs = jnp.take(self.loader.digits, idx, axis=0)
+                _, gm = self.train_step_gs(self.state, imgs, digs)
+                self.metrics.write(step, gm.pop("grad_stats"), prefix="grad/")
 
             k = self.loader.chunk(K)
             k = min(k, max(next_event(step) - step, 1))
@@ -282,6 +299,11 @@ class Trainer:
                 with_images = step % tcfg.img_summaries_every == 0
                 acc = self.write_eval_summaries(step, with_images)
                 print(f"[eval @ {step}] test accuracy {acc:.4f}")
+                if step % tcfg.var_summaries_every == 0:
+                    from air_tpu.train.metrics import variable_summaries
+                    self.metrics.write(step,
+                                       variable_summaries(self.state.params),
+                                       prefix="var/")
 
             if step % tcfg.save_params_every == 0:
                 save_checkpoint(self.models_dir, self.state, step,

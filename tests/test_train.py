@@ -262,3 +262,35 @@ def test_loss_decreases_over_training():
     # a learning model must end meaningfully below it
     blank_level = float(img.sum()) * -np.log(10e-10)
     assert np.mean(recons[-50:]) < 0.85 * blank_level
+
+
+def test_variable_summaries():
+    from air_tpu.train.metrics import variable_summaries
+    state = create_train_state(SMALL, rng=0)
+    vs = variable_summaries(state.params)
+    assert any(k.startswith("lstm/kernel") for k in vs)
+    assert any(k.endswith("/norm") for k in vs)
+    for k, v in vs.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_trainer_device_data_var_and_grad_summaries(tmp_path):
+    """Device-data path writes var/ and grad/ records at their cadences."""
+    import json
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(64, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 64).astype(np.int32)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "r"), batch_size=8, epochs=None,
+        max_iterations=10, num_summaries_every=5, var_summaries_every=5,
+        img_summaries_every=100, grad_summaries_every=5,
+        save_params_every=100, eval_batch_size=32, seed=0, log_every=5,
+        source_snapshot=False, device_data=True, multi_step=5)
+    tr = Trainer(SMALL, tcfg, (images, digits), (images[:32], digits[:32]))
+    tr.train()
+    recs = [json.loads(l) for l in
+            open(tmp_path / "r" / "summary" / "metrics.jsonl")]
+    assert any(any(k.startswith("var/") for k in r) for r in recs)
+    assert any(any(k.startswith("grad/") for k in r) for r in recs)
