@@ -82,7 +82,7 @@ def background_bank(size: int = 50, seed: int = 0, per_kind: int = 4,
     kinds = ["noise", "gradient", "stripes", "blobs", "checker"]
     bank = []
     for i in range(per_kind):
-        for k in kinds:
-            bank.append(generate_background(k, size, seed * 1000 + i * 10
-                                            + kinds.index(k), max_intensity))
+        for j, k in enumerate(kinds):
+            bank.append(generate_background(k, size, seed * 1000 + i * 10 + j,
+                                            max_intensity))
     return bank[:19]

@@ -24,6 +24,7 @@ Gumbel); keys are pre-split outside the scan and fed as xs.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -109,11 +110,13 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     threshold = hp["stopping_threshold"]
 
     if config.st_impl == "pallas":
+        if config.st_pad_mode != "zeros":
+            raise ValueError("st_impl='pallas' only implements "
+                             "st_pad_mode='zeros'")
         from air_tpu.kernels.st_pallas import (
             pallas_attention_read, pallas_attention_write)
         st_read, st_write = pallas_attention_read, pallas_attention_write
     else:
-        import functools
         st_read = functools.partial(attention_read,
                                     pad_mode=config.st_pad_mode)
         st_write = functools.partial(attention_write,

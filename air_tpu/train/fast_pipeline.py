@@ -93,6 +93,14 @@ class DeviceDataPipeline:
             self._perm_epoch = self.epoch
         return self._perm
 
+    def gather_batch(self):
+        """The next batch as device arrays (without advancing) — used for
+        instrumented single steps (e.g. grad summaries)."""
+        idx = jax.lax.dynamic_slice(
+            self.perm(), (self.index * self.batch_size,), (self.batch_size,))
+        return (jnp.take(self.images, idx, axis=0),
+                jnp.take(self.digits, idx, axis=0))
+
     def chunk(self, max_steps: int) -> int:
         """How many steps can run from the current position (0 at epoch
         boundary handling: advances epoch when exhausted)."""

@@ -98,18 +98,23 @@ def summarize_outputs(out, targets, max_steps: int, max_digits: int) -> dict:
 def variable_summaries(params) -> dict:
     """Per-variable distribution stats — the JSONL counterpart of the
     reference's per-variable histograms (reference air/air_model.py:643-649).
+
+    Computed host-side in numpy after one bulk device_get: per-leaf jnp
+    reductions would issue ~5 dispatches per variable, which is seconds of
+    latency on a tunneled TPU.
     """
     import jax
+    params = jax.device_get(params)
     out = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                         for p in path)
-        leaf = jnp.asarray(leaf)
-        out[f"{name}/norm"] = jnp.linalg.norm(leaf.ravel())
-        out[f"{name}/mean"] = jnp.mean(leaf)
-        out[f"{name}/std"] = jnp.std(leaf)
-        out[f"{name}/min"] = jnp.min(leaf)
-        out[f"{name}/max"] = jnp.max(leaf)
+        leaf = np.asarray(leaf)
+        out[f"{name}/norm"] = float(np.linalg.norm(leaf.ravel()))
+        out[f"{name}/mean"] = float(leaf.mean())
+        out[f"{name}/std"] = float(leaf.std())
+        out[f"{name}/min"] = float(leaf.min())
+        out[f"{name}/max"] = float(leaf.max())
     return out
 
 

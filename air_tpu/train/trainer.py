@@ -209,7 +209,6 @@ class Trainer:
         step = int(self.state.step)          # tracked host-side from here on
         total_epochs = tcfg.epochs if tcfg.epochs is not None else 10 ** 9
         max_iters = tcfg.max_iterations
-        last_metrics = None
         print(f"training[device-data]: batch={tcfg.batch_size} "
               f"K={K} epochs={tcfg.epochs} start_step={step}")
 
@@ -232,12 +231,7 @@ class Trainer:
                     step % tcfg.grad_summaries_every == 0:
                 # one instrumented single step on the next batch (the fused
                 # multi-step cannot expose per-variable grads)
-                idx = jax.lax.dynamic_slice(
-                    self.loader.perm(),
-                    (self.loader.index * tcfg.batch_size,),
-                    (tcfg.batch_size,))
-                imgs = jnp.take(self.loader.images, idx, axis=0)
-                digs = jnp.take(self.loader.digits, idx, axis=0)
+                imgs, digs = self.loader.gather_batch()
                 _, gm = self.train_step_gs(self.state, imgs, digs)
                 self.metrics.write(step, gm.pop("grad_stats"), prefix="grad/")
 
@@ -255,7 +249,7 @@ class Trainer:
                 self.loader.advance(1 if reps > 1 else k)
             step += k
             images_seen += k * tcfg.batch_size
-            last_metrics = metrics
+
 
             if step % tcfg.log_every == 0 or \
                     (tcfg.log_every and step // tcfg.log_every
