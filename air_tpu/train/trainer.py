@@ -58,6 +58,10 @@ class TrainerConfig:
     # (air_tpu/train/fast_pipeline.py) — the TPU-native input path
     device_data: bool = False
     multi_step: int = 50
+    # data parallelism: shard batches over the mesh's "data" axis
+    # (air_tpu/parallel); n_devices=None -> all visible devices
+    data_parallel: bool = False
+    n_devices: int | None = None
 
 
 def prepare_results_folder(cfg: TrainerConfig) -> str:
@@ -105,6 +109,13 @@ class Trainer:
             snapshot_source(self.folder)
 
         self.device = jax.devices()[0]
+        self.mesh = None
+        if trainer_config.data_parallel:
+            if trainer_config.device_data:
+                raise ValueError("device_data + data_parallel is not "
+                                 "supported yet; use the host loader for DP")
+            from air_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(trainer_config.n_devices)
         if trainer_config.device_data:
             from air_tpu.train.fast_pipeline import DeviceDataPipeline
             if isinstance(train_data, str):
@@ -115,17 +126,30 @@ class Trainer:
                 train_data[0], train_data[1], trainer_config.batch_size,
                 seed=trainer_config.seed, device=self.device)
         else:
+            if self.mesh is not None:
+                from air_tpu.parallel.train_parallel import shard_batch
+                put = lambda b: shard_batch(self.mesh, *b)  # noqa: E731
+            else:
+                put = lambda b: jax.device_put(b, self.device)  # noqa: E731
             self.loader = TrainLoader(
                 train_data, trainer_config.batch_size,
                 epochs=trainer_config.epochs, seed=trainer_config.seed,
-                prefetch=2,
-                device_put=lambda b: jax.device_put(b, self.device))
+                prefetch=2, device_put=put)
         self.test_images, self.test_digits = test_data
 
-        self.train_step = make_train_step(self.config)
-        self.train_step_gs = make_train_step(self.config,
-                                             with_grad_stats=True,
-                                             donate=False)
+        if self.mesh is not None:
+            from air_tpu.parallel.train_parallel import (
+                make_parallel_train_step, shard_batch)
+            self.train_step = make_parallel_train_step(self.config, self.mesh)
+            self.train_step_gs = make_parallel_train_step(
+                self.config, self.mesh, donate=False, with_grad_stats=True)
+            self._shard = lambda im, tg: shard_batch(self.mesh, im, tg)
+        else:
+            self.train_step = make_train_step(self.config)
+            self.train_step_gs = make_train_step(self.config,
+                                                 with_grad_stats=True,
+                                                 donate=False)
+            self._shard = None
         self.eval_step = make_eval_step(self.config)
         self.metrics = MetricsWriter(self.summary_dir,
                                      tensorboard=trainer_config.tensorboard)
@@ -136,6 +160,9 @@ class Trainer:
             if ckpt:
                 self.state = load_checkpoint(ckpt, self.config, self.loader)
                 print(f"resumed from {ckpt} at step {int(self.state.step)}")
+        if self.mesh is not None:
+            from air_tpu.parallel.mesh import replicated
+            self.state = jax.device_put(self.state, replicated(self.mesh))
 
     # -- evaluation over the full test set in fixed-size chunks ---------------
     def evaluate(self, step: int):

@@ -115,3 +115,37 @@ def test_multichip_dryrun_entrypoint():
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
     mod.dryrun_multichip(4)
+
+
+def test_trainer_data_parallel(tmp_path):
+    """Trainer with data_parallel=True trains over the 8-device mesh and
+    resumes (BASELINE.json config 5 integration)."""
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(128, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 128).astype(np.int32)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "dp"), batch_size=32, epochs=None,
+        max_iterations=6, num_summaries_every=3, img_summaries_every=100,
+        grad_summaries_every=4, save_params_every=100, eval_batch_size=64,
+        seed=0, log_every=3, source_snapshot=False, data_parallel=True)
+    tr = Trainer(SMALL, tcfg, (images, digits), (images[:64], digits[:64]))
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 8
+    result = tr.train()
+    assert result["step"] == 6
+    # params ended replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_trainer_device_data_plus_dp_rejected(tmp_path):
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    with pytest.raises(ValueError):
+        Trainer(SMALL, TrainerConfig(
+            results_folder=str(tmp_path / "x"), device_data=True,
+            data_parallel=True, source_snapshot=False),
+            (np.zeros((8, SMALL.canvas_size ** 2), np.float32),
+             np.zeros(8, np.int32)),
+            (np.zeros((8, SMALL.canvas_size ** 2), np.float32),
+             np.zeros(8, np.int32)))

@@ -41,6 +41,9 @@ def main():
                         help="device-resident dataset + K fused steps per "
                              "dispatch (fastest on TPU)")
     parser.add_argument("--multi-step", type=int, default=50)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all devices' data axis")
+    parser.add_argument("--n-devices", type=int, default=None)
     parser.add_argument("--synthetic-data", type=int, default=0,
                         help="if no dataset exists, generate one with N "
                              "images per digit stratum first")
@@ -107,6 +110,8 @@ def main():
         tensorboard=args.tensorboard,
         device_data=args.device_data,
         multi_step=args.multi_step,
+        data_parallel=args.data_parallel,
+        n_devices=args.n_devices,
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
