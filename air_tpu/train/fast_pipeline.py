@@ -33,6 +33,48 @@ def device_epoch_perm(n: int, seed: int, epoch) -> jnp.ndarray:
     return jax.random.permutation(key, n)
 
 
+def make_parallel_multi_step(config: AIRConfig, num_steps: int,
+                             batch_size: int, mesh, donate=True):
+    """Sharded (SPMD) variant of ``make_multi_step``: the dataset is
+    replicated, each device of the mesh's ``data`` axis gathers and
+    processes its slice of every batch, and gradients are pmean'd before
+    the optimizer inside the scan — BASELINE config 5 (DP across a v5e
+    slice) composed with the device-resident pipeline.
+
+    Same signature/semantics as ``make_multi_step``; ``batch_size`` is the
+    GLOBAL batch (must divide by the data-axis size).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    if batch_size % n_data != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by "
+                         f"data axis size {n_data}")
+    local_batch = batch_size // n_data
+    single = make_train_step(config, donate=False, jit=False,
+                             pmean_axis="data")
+
+    def sharded_body(state, images, digits, perm, start):
+        d = jax.lax.axis_index("data")
+
+        def body(state, i):
+            base = (start + i) * batch_size + d * local_batch
+            idx = jax.lax.dynamic_slice(perm, (base,), (local_batch,))
+            state, metrics = single(state, jnp.take(images, idx, axis=0),
+                                    jnp.take(digits, idx, axis=0))
+            return state, metrics
+
+        return jax.lax.scan(body, state, jnp.arange(num_steps))
+
+    mapped = shard_map(
+        sharded_body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
 def make_multi_step(config: AIRConfig, num_steps: int, batch_size: int,
                     donate=True):
     """Build a jitted ``(state, images_dev, digits_dev, perm, start) ->

@@ -26,16 +26,21 @@ def _global_norm(tree) -> jnp.ndarray:
 
 
 def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
-                    donate=True, jit=True):
+                    donate=True, jit=True, pmean_axis: str | None = None):
     """Build a ``train_step(state, images, targets) -> (state, metrics)``;
     jitted unless ``jit=False`` (the parallel layer jits with explicit
-    shardings instead)."""
+    shardings instead). ``pmean_axis`` inserts a gradient/metric pmean over
+    that mesh axis (for shard_map-based SPMD where each shard computes
+    grads on its local batch slice)."""
     if optimizer is None:
         optimizer = make_optimizer(config)
 
     def train_step(state: TrainState, images, targets):
         step = state.step
         key = jax.random.fold_in(state.key, step)
+        if pmean_axis is not None:
+            # decorrelate sampling noise across DP shards
+            key = jax.random.fold_in(key, jax.lax.axis_index(pmean_axis))
         hp = resolve_annealed(config.schedules, config.annealable_defaults(),
                               step)
 
@@ -46,6 +51,16 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
+            out = out._replace(
+                accuracy=jax.lax.pmean(out.accuracy, pmean_axis),
+                reconstruction_loss=jax.lax.pmean(
+                    jnp.mean(out.reconstruction_loss, keepdims=True),
+                    pmean_axis),
+                kl_loss=jax.lax.pmean(jnp.mean(out.kl_loss, keepdims=True),
+                                      pmean_axis))
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -111,9 +111,6 @@ class Trainer:
         self.device = jax.devices()[0]
         self.mesh = None
         if trainer_config.data_parallel:
-            if trainer_config.device_data:
-                raise ValueError("device_data + data_parallel is not "
-                                 "supported yet; use the host loader for DP")
             from air_tpu.parallel.mesh import make_mesh
             self.mesh = make_mesh(trainer_config.n_devices)
         if trainer_config.device_data:
@@ -122,9 +119,16 @@ class Trainer:
                 from air_tpu.data.records import read_records
                 rec = read_records(train_data)
                 train_data = (rec["images"], rec["digits"])
+            if self.mesh is not None:
+                # dataset replicated across the mesh; each device gathers
+                # its slice of every batch inside the sharded multi-step
+                from air_tpu.parallel.mesh import replicated
+                device = replicated(self.mesh)
+            else:
+                device = self.device
             self.loader = DeviceDataPipeline(
                 train_data[0], train_data[1], trainer_config.batch_size,
-                seed=trainer_config.seed, device=self.device)
+                seed=trainer_config.seed, device=device)
         else:
             if self.mesh is not None:
                 from air_tpu.parallel.train_parallel import shard_batch
@@ -215,11 +219,18 @@ class Trainer:
     def _train_device_data(self):
         """Steady-state loop with zero per-step host traffic: K steps fused
         per dispatch, batches gathered from HBM inside the scan."""
-        from air_tpu.train.fast_pipeline import make_multi_step
+        from air_tpu.train.fast_pipeline import (
+            make_multi_step, make_parallel_multi_step)
         tcfg = self.tcfg
         K = tcfg.multi_step
-        multi = make_multi_step(self.config, K, tcfg.batch_size)
-        single = make_multi_step(self.config, 1, tcfg.batch_size)
+        if self.mesh is not None:
+            multi = make_parallel_multi_step(self.config, K,
+                                             tcfg.batch_size, self.mesh)
+            single = make_parallel_multi_step(self.config, 1,
+                                              tcfg.batch_size, self.mesh)
+        else:
+            multi = make_multi_step(self.config, K, tcfg.batch_size)
+            single = make_multi_step(self.config, 1, tcfg.batch_size)
 
         cadences = [c for c in (tcfg.num_summaries_every,
                                 tcfg.save_params_every,
@@ -259,6 +270,8 @@ class Trainer:
                 # one instrumented single step on the next batch (the fused
                 # multi-step cannot expose per-variable grads)
                 imgs, digs = self.loader.gather_batch()
+                if self._shard is not None:
+                    imgs, digs = self._shard(imgs, digs)
                 _, gm = self.train_step_gs(self.state, imgs, digs)
                 self.metrics.write(step, gm.pop("grad_stats"), prefix="grad/")
 

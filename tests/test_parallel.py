@@ -139,13 +139,22 @@ def test_trainer_data_parallel(tmp_path):
     assert len(leaf.sharding.device_set) == 8
 
 
-def test_trainer_device_data_plus_dp_rejected(tmp_path):
+def test_trainer_device_data_plus_dp(tmp_path):
+    """device_data + data_parallel compose: sharded multi-step over the
+    8-device mesh with the HBM-resident dataset."""
     from air_tpu.train.trainer import Trainer, TrainerConfig
-    with pytest.raises(ValueError):
-        Trainer(SMALL, TrainerConfig(
-            results_folder=str(tmp_path / "x"), device_data=True,
-            data_parallel=True, source_snapshot=False),
-            (np.zeros((8, SMALL.canvas_size ** 2), np.float32),
-             np.zeros(8, np.int32)),
-            (np.zeros((8, SMALL.canvas_size ** 2), np.float32),
-             np.zeros(8, np.int32)))
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(128, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 128).astype(np.int32)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "dpd"), batch_size=16, epochs=None,
+        max_iterations=10, num_summaries_every=5, img_summaries_every=100,
+        grad_summaries_every=5, save_params_every=100, eval_batch_size=64,
+        seed=0, log_every=5, source_snapshot=False, data_parallel=True,
+        device_data=True, multi_step=5)
+    tr = Trainer(SMALL, tcfg, (images, digits), (images[:64], digits[:64]))
+    result = tr.train()
+    assert result["step"] == 10
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
