@@ -170,35 +170,13 @@ class Trainer:
 
     # -- evaluation over the full test set in fixed-size chunks ---------------
     def evaluate(self, step: int):
-        eb = self.tcfg.eval_batch_size
-        n = len(self.test_images)
-        outs = []
+        from air_tpu.train.evaluate import evaluate_params
         key = jax.random.fold_in(jax.random.PRNGKey(self.tcfg.seed ^ 0x5EED),
                                  step)
-        for lo in range(0, n, eb):
-            imgs = self.test_images[lo:lo + eb]
-            digs = self.test_digits[lo:lo + eb]
-            pad = eb - len(imgs)
-            if pad:
-                imgs = np.concatenate([imgs, np.zeros((pad, imgs.shape[1]),
-                                                      imgs.dtype)])
-                digs = np.concatenate([digs, np.zeros(pad, digs.dtype)])
-            out = self.eval_step(self.state.params, jnp.asarray(imgs),
-                                 jnp.asarray(digs),
-                                 jax.random.fold_in(key, lo), step)
-            outs.append(jax.device_get(out))
-        # concatenate chunk outputs (per-example fields), trim padding, and
-        # recompute the scalar aggregates from the trimmed arrays
-        merged = jax.tree_util.tree_map(
-            lambda *xs: (np.concatenate(xs)[:n] if np.ndim(xs[0]) > 0
-                         else xs[0]), *outs)
-        merged = merged._replace(
-            loss=np.mean(merged.per_example_loss),
-            accuracy=np.mean(
-                (merged.rec_num_digits
-                 == np.asarray(self.test_digits, np.int32)).astype(
-                     np.float32)))
-        return merged
+        return evaluate_params(self.eval_step, self.state.params,
+                               self.test_images, self.test_digits,
+                               batch_size=self.tcfg.eval_batch_size,
+                               key=key, step=step)
 
     def write_eval_summaries(self, step: int, with_images: bool):
         out = self.evaluate(step)
