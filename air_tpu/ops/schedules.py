@@ -26,9 +26,16 @@ def exponential_decay(init, step, decay_steps, decay_rate,
 
 
 def annealed_value(schedule: dict, step):
-    """Resolve one annealing-schedule dict at ``step`` (traceable)."""
+    """Resolve one annealing-schedule dict at ``step`` (traceable).
+
+    Superset of the reference schema: an optional ``hold`` keeps the value
+    at ``init`` for the first ``hold`` steps before the decay clock starts
+    (grace-window extension; absent = reference behavior).
+    """
+    decay_step = jnp.maximum(jnp.asarray(step, jnp.float32)
+                             - schedule.get("hold", 0), 0.0)
     value = exponential_decay(
-        schedule["init"], step, schedule["iters"], schedule["factor"],
+        schedule["init"], decay_step, schedule["iters"], schedule["factor"],
         staircase=schedule.get("staircase", False),
     )
     if "min" in schedule:

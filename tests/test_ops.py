@@ -121,3 +121,15 @@ def test_resolve_annealed_traceable():
 
     np.testing.assert_allclose(float(f(0)), np.log(1e4 + 1e-9), rtol=1e-4)
     assert float(f(60000)) < -20.0
+
+
+def test_annealed_hold_then_decay():
+    sched = {"init": 100.0, "iters": 10, "factor": 0.1, "hold": 50}
+    np.testing.assert_allclose(float(annealed_value(sched, 0)), 100.0)
+    np.testing.assert_allclose(float(annealed_value(sched, 50)), 100.0)
+    np.testing.assert_allclose(float(annealed_value(sched, 60)), 10.0,
+                               rtol=1e-5)
+    # absent hold == reference behavior
+    ref = {"init": 100.0, "iters": 10, "factor": 0.1}
+    np.testing.assert_allclose(float(annealed_value(ref, 10)), 10.0,
+                               rtol=1e-5)
