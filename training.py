@@ -57,6 +57,11 @@ def main():
     parser.add_argument("--learning-rate", type=float, default=1e-4)
     parser.add_argument("--stopping-threshold", type=float, default=0.99)
     parser.add_argument("--cnn", action="store_true")
+    parser.add_argument("--anneal-hold", type=int, default=0,
+                        help="hold the z_pres prior at its init value for N "
+                             "steps before decaying (0 = reference "
+                             "schedule). 15000 rescues seeds that stall on "
+                             "hard/synthetic data — see RESULTS.md")
     args = parser.parse_args()
 
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
@@ -93,6 +98,10 @@ def main():
         stopping_threshold=args.stopping_threshold,
         cnn=args.cnn,
     )
+    if args.anneal_hold:
+        sched = model_config.schedules
+        sched["z_pres_prior_log_odds"]["hold"] = args.anneal_hold
+        model_config = model_config.replace(annealing_schedules=sched)
     trainer_config = TrainerConfig(
         results_folder=args.results_folder,
         overwrite_results=bool(args.overwrite_results),
