@@ -172,3 +172,21 @@ def test_embeddings_run_end_to_end(tmp_path, wrapper):
                 verbose=False)
     assert stats["present_digits"] == int(digits.sum())
     assert stats["matched"] >= 0
+
+
+def test_packed_infer_matches_infer_batch(frames):
+    """The single-transfer packed serving path must produce the same values
+    as the full-output infer_batch path (same PRNG call sequence)."""
+    params = init_air_params(jax.random.PRNGKey(0), SMALL)
+    w1 = ModelWrapper(SMALL, params, seed=5)
+    w2 = ModelWrapper(SMALL, params, seed=5)
+    digits, positions, recons, windows, latents, losses = w1.infer(frames)
+    out = w2.infer_batch(np.asarray(frames).reshape(len(frames), -1))
+    np.testing.assert_array_equal(np.asarray(digits),
+                                  np.asarray(out.rec_num_digits))
+    np.testing.assert_allclose(
+        np.stack([r.ravel() for r in recons]),
+        np.asarray(out.reconstruction), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(losses),
+                               np.asarray(out.reconstruction_loss),
+                               rtol=1e-5)
