@@ -18,8 +18,9 @@ import jax
 from jax.sharding import Mesh
 
 from air_tpu.models.config import AIRConfig
-from air_tpu.parallel.mesh import batch_sharding, replicated
+from air_tpu.parallel.mesh import batch_sharding, replicated, state_sharding
 from air_tpu.train.steps import make_train_step, make_eval_step
+from air_tpu.train.state import abstract_train_state
 
 
 def shard_batch(mesh: Mesh, images, targets):
@@ -31,19 +32,22 @@ def shard_batch(mesh: Mesh, images, targets):
 
 def make_parallel_train_step(config: AIRConfig, mesh: Mesh, donate=True,
                              with_grad_stats=False):
-    """Jitted DP train step: state replicated, batch data-sharded.
+    """Jitted DP(+TP) train step: batch sharded on ``data``; params and
+    optimizer state sharded per ``mesh.state_sharding`` (column-split big
+    kernels on the ``model`` axis, replicated when model axis is size 1).
 
     Signature matches the single-device step:
     ``(state, images, targets) -> (state, metrics)``.
     """
     step_fn = make_train_step(config, with_grad_stats=with_grad_stats,
                               jit=False)
+    state_sh = state_sharding(mesh, abstract_train_state(config))
     rep = replicated(mesh)
     data = batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(rep, data, data),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, data, data),
+        out_shardings=(state_sh, rep),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -56,9 +60,10 @@ def make_parallel_eval_step(config: AIRConfig, mesh: Mesh):
     step_fn = make_eval_step(config, jit=False)
     rep = replicated(mesh)
     data = batch_sharding(mesh)
+    params_sh = state_sharding(mesh, abstract_train_state(config).params)
     out_shardings = AIROutputs(
         **{f: (rep if f in ("loss", "accuracy") else data)
            for f in AIROutputs._fields})
     return jax.jit(step_fn,
-                   in_shardings=(rep, data, data, rep, rep),
+                   in_shardings=(params_sh, data, data, rep, rep),
                    out_shardings=out_shardings)

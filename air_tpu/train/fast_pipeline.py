@@ -44,7 +44,7 @@ def make_parallel_multi_step(config: AIRConfig, num_steps: int,
     Same signature/semantics as ``make_multi_step``; ``batch_size`` is the
     GLOBAL batch (must divide by the data-axis size).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_data = mesh.shape["data"]
@@ -71,7 +71,7 @@ def make_parallel_multi_step(config: AIRConfig, num_steps: int,
         sharded_body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 

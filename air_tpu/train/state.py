@@ -44,6 +44,20 @@ def make_optimizer(config: AIRConfig) -> optax.GradientTransformation:
     return optax.chain(*parts)
 
 
+def abstract_train_state(config: AIRConfig) -> TrainState:
+    """Shape/dtype skeleton of the initial TrainState (no compute) — used
+    by the parallel layer to derive sharding pytrees before init."""
+    optimizer = make_optimizer(config)
+
+    def _init(rng):
+        k_init, k_train = jax.random.split(rng)
+        params = init_air_params(k_init, config)
+        return TrainState(params=params, opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32), key=k_train)
+
+    return jax.eval_shape(_init, jax.random.PRNGKey(0))
+
+
 def create_train_state(config: AIRConfig, rng: jax.Array | int = 0,
                        params: Any | None = None) -> TrainState:
     """Build the initial TrainState as ONE jitted program.

@@ -165,8 +165,8 @@ class Trainer:
                 self.state = load_checkpoint(ckpt, self.config, self.loader)
                 print(f"resumed from {ckpt} at step {int(self.state.step)}")
         if self.mesh is not None:
-            from air_tpu.parallel.mesh import replicated
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            from air_tpu.parallel.mesh import shard_state
+            self.state = shard_state(self.mesh, self.state)
 
     # -- evaluation over the full test set in fixed-size chunks ---------------
     def evaluate(self, step: int):

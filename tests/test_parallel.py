@@ -117,6 +117,65 @@ def test_multichip_dryrun_entrypoint():
     mod.dryrun_multichip(4)
 
 
+def test_model_axis_actually_shards():
+    """model_axis=2 must column-shard the big kernels (TP, not cosmetic)."""
+    from air_tpu.parallel.mesh import shard_state
+    mesh = make_mesh(8, model_axis=2)
+    state = shard_state(mesh, create_train_state(SMALL, rng=0))
+    lstm_kernel = state.params["lstm"]["kernel"]
+    assert "model" in str(lstm_kernel.sharding.spec)
+    # each device holds half the gate columns
+    shard_shape = lstm_kernel.addressable_shards[0].data.shape
+    assert shard_shape[1] == lstm_kernel.shape[1] // 2
+    # Adam mu/nu follow the same layout
+    import jax as _jax
+    mus = [l for l in _jax.tree_util.tree_leaves(state.opt_state)
+           if getattr(l, "shape", None) == lstm_kernel.shape]
+    assert mus and all("model" in str(m.sharding.spec) for m in mus)
+
+
+def test_tp_matches_single_device(batch):
+    """data=4 x model=2 must reproduce the single-device update."""
+    from air_tpu.parallel.mesh import shard_state
+    images, digits = batch
+    mesh = make_mesh(8, model_axis=2)
+    state_p = shard_state(mesh, create_train_state(SMALL, rng=0))
+    state_s = create_train_state(SMALL, rng=0)
+    pstep = make_parallel_train_step(SMALL, mesh, donate=False)
+    sstep = make_train_step(SMALL, donate=False)
+    si, sd = shard_batch(mesh, images, digits)
+    new_p, m_p = pstep(state_p, si, sd)
+    new_s, m_s = sstep(state_s, jnp.asarray(images), jnp.asarray(digits))
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        new_p.params, new_s.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_multichip_dryrun_clean_subprocess():
+    """Run dryrun_multichip(8) exactly as the driver does: a fresh process
+    with NO conftest env (one visible device), so the self-provisioning
+    path — not the test harness — must supply the 8-device mesh. Guards the
+    failure mode that broke MULTICHIP_r01.json."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # pin the OUTER process to plain CPU (1 device) so the test is hermetic
+    # off-TPU; the dryrun itself must provision the 8-device mesh
+    code = (f"import sys; sys.path.insert(0, {repo!r}); "
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "OK" in proc.stdout, proc.stdout
+
+
 def test_trainer_data_parallel(tmp_path):
     """Trainer with data_parallel=True trains over the 8-device mesh and
     resumes (BASELINE.json config 5 integration)."""
