@@ -36,7 +36,7 @@ class TrainLoader:
 
     def __init__(self, path_or_arrays, batch_size: int, epochs: int | None = None,
                  seed: int = 0, prefetch: int = 2, device_put=None,
-                 native: bool | None = None):
+                 native: bool | None = None, reader_threads: int = 4):
         if isinstance(path_or_arrays, str):
             rec = read_records(path_or_arrays)
             self.images = np.asarray(rec["images"], np.float32)
@@ -59,7 +59,8 @@ class TrainLoader:
             try:
                 from air_tpu.runtime import NativeShuffleLoader
                 self._native = NativeShuffleLoader(
-                    self.images, self.digits, batch_size, seed)
+                    self.images, self.digits, batch_size, seed,
+                    n_threads=reader_threads)
             except Exception:
                 if native:
                     raise
@@ -85,27 +86,38 @@ class TrainLoader:
             np.random.SeedSequence([self.seed, epoch])).permutation(self.n)
 
     def _iter_host(self):
-        while self.epochs is None or self.epoch < self.epochs:
-            perm = self._perm(self.epoch)
+        """Yields ((images, digits), position) where ``position`` is the
+        (epoch, index) AFTER this batch — i.e. the next batch to deliver.
+        Works on LOCAL position variables so a prefetching producer thread
+        never mutates the loader's consumed position (``state()`` must
+        reflect what the consumer has actually received, not what the
+        producer has staged ahead)."""
+        epoch, index = self.epoch, self.index
+        while self.epochs is None or epoch < self.epochs:
+            perm = self._perm(epoch)
             bs = self.batch_size
-            while self.index + bs <= self.n:
-                sel = perm[self.index:self.index + bs]
+            while index + bs <= self.n:
+                sel = perm[index:index + bs]
                 if self._native is not None:
                     batch = self._native.gather(sel)
                 else:
                     batch = (self.images[sel], self.digits[sel])
-                self.index += bs
-                yield batch
-            self.epoch += 1
-            self.index = 0
+                index += bs
+                yield batch, (epoch, index)
+            epoch += 1
+            index = 0
 
     def __iter__(self):
+        def emit(item):
+            batch, (epoch, index) = item
+            # consumed-position bookkeeping happens HERE, on the consumer
+            # thread, exactly when the batch is handed over
+            self.epoch, self.index = epoch, index
+            return self.device_put(batch) if self.device_put else batch
+
         if self.prefetch <= 0:
-            if self.device_put is None:
-                yield from self._iter_host()
-            else:
-                for batch in self._iter_host():
-                    yield self.device_put(batch)
+            for item in self._iter_host():
+                yield emit(item)
             return
 
         # The producer thread assembles HOST batches only (numpy + native
@@ -118,8 +130,8 @@ class TrainLoader:
 
         def producer():
             try:
-                for batch in self._iter_host():
-                    q.put(batch)
+                for item in self._iter_host():
+                    q.put(item)
             finally:
                 q.put(stop)
 
@@ -129,7 +141,7 @@ class TrainLoader:
             item = q.get()
             if item is stop:
                 break
-            yield self.device_put(item) if self.device_put else item
+            yield emit(item)
 
 
 def load_test_data(path: str, shift_zero_digits_images: bool = True):

@@ -6,10 +6,12 @@ kernel fuses both contractions per batch element, keeping the intermediate
 in VMEM. The per-axis bilinear weight matrices are built by XLA on the VPU
 (cheap, fuses into the producers) and streamed in as blocks.
 
-Semantics identical to ``attention_read`` / ``attention_write``
-(reference air/transformer.py coordinate map incl. the (dim-1.001)/2 quirk
-and clamp-cancel zero padding) — asserted against the XLA path in
-tests/test_pallas.py at batch sizes up to 1024.
+Semantics identical to ``attention_read`` / ``attention_write`` at their
+defaults (reference air/transformer.py coordinate map incl. the
+(dim-1.001)/2 quirk, with ``pad_mode="zeros"`` true zero padding — NOT the
+reference's clamp-cancel quirk; models/air.py requires zeros for this
+path) — asserted against the XLA path in tests/test_pallas.py at batch
+sizes up to 1024.
 
 Grads: ``custom_vjp`` — forward runs the Pallas kernel, backward reuses the
 XLA separable path's VJP (bilinear resampling is linear in the image and

@@ -28,9 +28,12 @@ def exponential_decay(init, step, decay_steps, decay_rate,
 def annealed_value(schedule: dict, step):
     """Resolve one annealing-schedule dict at ``step`` (traceable).
 
-    Superset of the reference schema: an optional ``hold`` keeps the value
-    at ``init`` for the first ``hold`` steps before the decay clock starts
-    (grace-window extension; absent = reference behavior).
+    Supersets of the reference schema (each absent = reference behavior):
+      * ``hold`` keeps the value at ``init`` for the first ``hold`` steps
+        before the decay clock starts (grace-window extension);
+      * ``offset`` is added last — lets a positive exponential decay
+        express curricula over signed quantities (e.g. scale_prior_mean
+        0 -> -1 via init=1, offset=-1).
     """
     decay_step = jnp.maximum(jnp.asarray(step, jnp.float32)
                              - schedule.get("hold", 0), 0.0)
@@ -44,7 +47,7 @@ def annealed_value(schedule: dict, step):
         value = jnp.minimum(value, schedule["max"])
     if schedule.get("log", False):
         value = jnp.log(value + EPS)
-    return value
+    return value + schedule.get("offset", 0.0)
 
 
 def resolve_annealed(annealing_schedules: dict | None, defaults: dict, step):

@@ -42,6 +42,7 @@ class TrainerConfig:
     batch_size: int = 64
     epochs: int | None = 300
     max_iterations: int | None = None        # extra stop knob (reference: epochs only)
+    stop_at_accuracy: float | None = None    # stop once test accuracy >= this
     num_summaries_every: int = 50            # reference training.py:20
     var_summaries_every: int = 250           # reference training.py:21
     img_summaries_every: int = 500           # reference training.py:22
@@ -62,6 +63,9 @@ class TrainerConfig:
     # (air_tpu/parallel); n_devices=None -> all visible devices
     data_parallel: bool = False
     n_devices: int | None = None
+    # host-loader gather threads (native C++ backend; reference
+    # training.py:38 -t/--reader-threads)
+    reader_threads: int = 4
 
 
 def prepare_results_folder(cfg: TrainerConfig) -> str:
@@ -138,7 +142,8 @@ class Trainer:
             self.loader = TrainLoader(
                 train_data, trainer_config.batch_size,
                 epochs=trainer_config.epochs, seed=trainer_config.seed,
-                prefetch=2, device_put=put)
+                prefetch=2, device_put=put,
+                reader_threads=trainer_config.reader_threads)
         self.test_images, self.test_digits = test_data
 
         if self.mesh is not None:
@@ -235,6 +240,10 @@ class Trainer:
                 acc = self.write_eval_summaries(
                     step, step % tcfg.img_summaries_every == 0)
                 print(f"[eval @ {step}] test accuracy {acc:.4f}")
+                if tcfg.stop_at_accuracy is not None \
+                        and acc >= tcfg.stop_at_accuracy:
+                    print(f"target accuracy {tcfg.stop_at_accuracy} reached")
+                    break
                 if step % tcfg.var_summaries_every == 0:
                     from air_tpu.train.metrics import variable_summaries
                     self.metrics.write(step,
@@ -254,6 +263,10 @@ class Trainer:
                 self.metrics.write(step, gm.pop("grad_stats"), prefix="grad/")
 
             k = self.loader.chunk(K)
+            # chunk() may have rolled over to a new epoch — re-test the
+            # epoch bound so we never train into an extra epoch
+            if self.loader.epoch >= total_epochs:
+                break
             k = min(k, max(next_event(step) - step, 1))
             if max_iters is not None:
                 k = min(k, max_iters - step)
@@ -302,6 +315,10 @@ class Trainer:
         step = int(self.state.step)
         print(f"training: batch={tcfg.batch_size} epochs={tcfg.epochs} "
               f"start_step={step}")
+        # loader position to checkpoint: captured BEFORE the current batch
+        # was pulled, so a resumed run re-delivers the in-flight batch the
+        # saved model state has not trained on yet (exact-resume contract)
+        loader_state_snapshot = self.loader.state()
         for images, targets in self.loader:
             step = int(self.state.step)
             if tcfg.max_iterations is not None and step >= tcfg.max_iterations:
@@ -311,6 +328,10 @@ class Trainer:
                 with_images = step % tcfg.img_summaries_every == 0
                 acc = self.write_eval_summaries(step, with_images)
                 print(f"[eval @ {step}] test accuracy {acc:.4f}")
+                if tcfg.stop_at_accuracy is not None \
+                        and acc >= tcfg.stop_at_accuracy:
+                    print(f"target accuracy {tcfg.stop_at_accuracy} reached")
+                    break
                 if step % tcfg.var_summaries_every == 0:
                     from air_tpu.train.metrics import variable_summaries
                     self.metrics.write(step,
@@ -319,7 +340,7 @@ class Trainer:
 
             if step % tcfg.save_params_every == 0:
                 save_checkpoint(self.models_dir, self.state, step,
-                                loader_state=self.loader.state())
+                                loader_state=loader_state_snapshot)
 
             if tcfg.grad_summaries_every and \
                     step % tcfg.grad_summaries_every == 0:
@@ -330,6 +351,7 @@ class Trainer:
             else:
                 self.state, metrics = self.train_step(
                     self.state, images, targets)
+            loader_state_snapshot = self.loader.state()
 
             images_seen += tcfg.batch_size
             if step % tcfg.log_every == 0:

@@ -43,6 +43,51 @@ def get_config(name: str):
     raise SystemExit(f"unknown --config {name}")
 
 
+def analytic_flops_per_image(cfg, train: bool) -> float:
+    """Analytic matmul FLOPs per image for one forward pass (2 x MACs),
+    x3 for training (backward ~ 2x forward). Elementwise ops ignored —
+    they are noise next to the matmuls. Used for the MFU readout."""
+    H = cfg.rnn_units
+    cs, ws = cfg.canvas_size, cfg.windows_size
+    macs = 0
+    # LSTM fused gate matmul: [B, in+H] @ [in+H, 4H]
+    macs += (cfg.rnn_input_dim + H) * 4 * H
+    # five 2-layer heads (scale/shift mean+logvar, z_pres)
+    for hidden, out in ((cfg.scale_hidden_units, 1),
+                        (cfg.scale_hidden_units, 1),
+                        (cfg.shift_hidden_units, 2),
+                        (cfg.shift_hidden_units, 2),
+                        (cfg.z_pres_hidden_units, 1)):
+        macs += H * hidden + hidden * out
+    # VAE recognition + generative MLPs
+    dims = [ws * ws, *cfg.vae_recognition_units]
+    macs += sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    macs += 2 * dims[-1] * cfg.vae_latent_dimensions        # mean + logvar
+    dims = [cfg.vae_latent_dimensions, *cfg.vae_generative_units, ws * ws]
+    macs += sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    # separable ST: read Wy[ws,cs]@im[cs,cs] + tmp[ws,cs]@Wx^T[cs,ws];
+    # write is the mirror image (ws<->cs swapped on the output side)
+    macs += ws * cs * cs + ws * cs * ws        # read
+    macs += cs * ws * ws + cs * ws * cs        # write
+    per_step = macs * 2.0                      # FLOPs = 2 x MACs
+    if cfg.cnn:
+        # 3 conv layers, 5x5 kernels, 2 max-pools (cs -> cs/2 -> cs/4)
+        f = cfg.cnn_filters
+        per_image_cnn = 2 * 25 * (cs * cs * 1 * f
+                                  + (cs // 2) ** 2 * f * f
+                                  + (cs // 4) ** 2 * f * f)
+    else:
+        per_image_cnn = 0.0
+    total = per_step * cfg.max_steps + per_image_cnn
+    return total * (3.0 if train else 1.0)
+
+
+# Dense peak FLOP/s per chip for MFU (fp32 path through the MXU; the model
+# runs fp32 — see RESULTS.md bf16 probe). v5e bf16 peak is 197e12; the
+# fp32-effective peak is ~1/4 of that.
+PEAK_FLOPS = {"tpu": 197e12 / 4, "cpu": 1e11}
+
+
 def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
             seed: int = 0, config: str = "default") -> dict:
     import numpy as np
@@ -66,10 +111,10 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
             return eval_step(state.params, images, targets,
                              jax.random.fold_in(key, i),
                              jnp.zeros((), jnp.int32)).per_example_loss
+        tc0 = time.perf_counter()
         out = run_once(0)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        compile_time = t0  # already compiled above
+        compile_time = time.perf_counter() - tc0
         for i in range(warmup):
             out = run_once(i)
         jax.block_until_ready(out)
@@ -94,13 +139,20 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
         elapsed = time.perf_counter() - t0
 
     ips = batch_size * steps / elapsed
+    platform = jax.devices()[0].platform
+    flops_im = analytic_flops_per_image(CFG, train=not eval_mode)
+    achieved = ips * flops_im
+    peak = PEAK_FLOPS.get(platform)
     return {
         "images_per_sec": ips,
         "step_ms": 1000.0 * elapsed / steps,
         "compile_s": compile_time,
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "device": str(jax.devices()[0]),
         "batch_size": batch_size,
+        "flops_per_image": flops_im,
+        "achieved_tflops": achieved / 1e12,
+        "mfu": (achieved / peak) if peak else None,
     }
 
 
@@ -147,17 +199,25 @@ def main():
 
     result = measure(args.batch_size, args.steps, args.warmup, args.eval,
                      config=args.config)
-    print(f"device={result['device']} step={result['step_ms']:.2f}ms "
-          f"compile={result['compile_s']:.1f}s", file=sys.stderr)
+    line = (f"device={result['device']} step={result['step_ms']:.2f}ms "
+            f"compile={result['compile_s']:.1f}s "
+            f"achieved={result['achieved_tflops']:.2f}TFLOP/s")
+    if result["mfu"] is not None:
+        line += f" mfu={result['mfu']:.3f}"
+    print(line, file=sys.stderr)
 
     mode = "infer" if args.eval else "train"
     suffix = "" if args.config == "default" else f"_{args.config}"
-    print(json.dumps({
+    out = {
         "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}{suffix}",
         "value": round(result["images_per_sec"], 1),
         "unit": "images/sec",
         "vs_baseline": round(result["images_per_sec"] / baseline, 2),
-    }))
+    }
+    if result["mfu"] is not None:
+        out["mfu"] = round(result["mfu"], 4)
+        out["achieved_tflops"] = round(result["achieved_tflops"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -297,3 +297,25 @@ def test_generate_dataset_with_procedural_bg(digits_pool):
     zero = [im for im, d in zip(out["common"]["images"],
                                 out["common"]["digits"]) if d == 0]
     assert zero and np.asarray(zero[0]).sum() > 0   # background ink present
+
+
+def test_train_loader_state_tracks_consumption(digits_pool):
+    """state() must reflect the CONSUMED position, not the producer
+    thread's prefetch-ahead position (resume-exactness; ADVICE r1)."""
+    images, _ = digits_pool
+    data = (images[:64], np.arange(64) % 3)
+    loader = TrainLoader(data, batch_size=8, epochs=3, seed=1, prefetch=2,
+                         native=False)
+    it = iter(loader)
+    next(it)
+    import time
+    time.sleep(0.3)          # let the producer run ahead
+    st = loader.state()
+    assert st["index"] == 8  # exactly one batch consumed
+    # and resume from that state delivers the same batch 2 as continuing
+    want = next(it)
+    fresh = TrainLoader(data, batch_size=8, epochs=3, seed=1, prefetch=0,
+                        native=False)
+    fresh.restore(st)
+    got = next(iter(fresh))
+    np.testing.assert_array_equal(want[0], got[0])

@@ -168,3 +168,23 @@ def test_parallel_multi_step_batch_divisibility():
     from air_tpu.train.fast_pipeline import make_parallel_multi_step
     with pytest.raises(ValueError):
         make_parallel_multi_step(SMALL, 2, 12, make_mesh(8))
+
+
+def test_trainer_device_data_epoch_bound(tmp_path):
+    """Device-data loop must stop AT the epoch bound even when chunk()
+    rolls into a fresh epoch (ADVICE r1: ran multi_step extra steps)."""
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_model import SMALL
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(40, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 40).astype(np.int32)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "ep"), batch_size=8, epochs=2,
+        num_summaries_every=10 ** 9, img_summaries_every=10 ** 9,
+        grad_summaries_every=0, save_params_every=10 ** 9,
+        eval_batch_size=8, seed=0, log_every=10 ** 9,
+        source_snapshot=False, device_data=True, multi_step=5)
+    tr = Trainer(SMALL, tcfg, (images, digits), (images[:8], digits[:8]))
+    result = tr.train()
+    assert result["step"] == 10  # 2 epochs x 5 batches, not 15

@@ -57,6 +57,8 @@ def main():
     parser.add_argument("--learning-rate", type=float, default=1e-4)
     parser.add_argument("--stopping-threshold", type=float, default=0.99)
     parser.add_argument("--cnn", action="store_true")
+    parser.add_argument("--stop-at-accuracy", type=float, default=None,
+                        help="stop once test accuracy reaches this value")
     parser.add_argument("--anneal-hold", type=int, default=0,
                         help="hold the z_pres prior at its init value for N "
                              "steps before decaying (0 = reference "
@@ -121,6 +123,8 @@ def main():
         multi_step=args.multi_step,
         data_parallel=args.data_parallel,
         n_devices=args.n_devices,
+        reader_threads=args.reader_threads,
+        stop_at_accuracy=args.stop_at_accuracy,
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
