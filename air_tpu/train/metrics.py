@@ -7,8 +7,10 @@ Reproduces the reference's TensorBoard scalar taxonomy with static shapes:
   * per-step slices "<name>_<s>_step..." with the same one_more_step /
     all_steps variants (reference air/air_model.py:184-209).
 
-Sinks: JSONL (always), TensorBoard event files via tf.summary when
-TensorFlow is importable (optional, lazy).
+Sinks: JSONL (always), TensorBoard event files via the pure-python
+``air_tpu.utils.tb_writer`` (no TensorFlow dependency) — scalars plus TRUE
+histograms for variables and pre/post-clip gradients (the reference's
+air/air_model.py:643-687 summaries).
 """
 
 from __future__ import annotations
@@ -95,21 +97,25 @@ def summarize_outputs(out, targets, max_steps: int, max_digits: int) -> dict:
     return summ
 
 
+def named_leaves(tree) -> dict:
+    """Flatten a pytree to {path-name: numpy array} after ONE bulk
+    device_get (per-leaf fetches cost a round-trip each on tunneled TPUs)."""
+    import jax
+    tree = jax.device_get(tree)
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        out[name] = np.asarray(leaf)
+    return out
+
+
 def variable_summaries(params) -> dict:
     """Per-variable distribution stats — the JSONL counterpart of the
     reference's per-variable histograms (reference air/air_model.py:643-649).
-
-    Computed host-side in numpy after one bulk device_get: per-leaf jnp
-    reductions would issue ~5 dispatches per variable, which is seconds of
-    latency on a tunneled TPU.
-    """
-    import jax
-    params = jax.device_get(params)
+    True histograms go to the TB sink via MetricsWriter.write_histograms."""
     out = {}
-    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
-        leaf = np.asarray(leaf)
+    for name, leaf in named_leaves(params).items():
         out[f"{name}/norm"] = float(np.linalg.norm(leaf.ravel()))
         out[f"{name}/mean"] = float(leaf.mean())
         out[f"{name}/std"] = float(leaf.std())
@@ -119,7 +125,8 @@ def variable_summaries(params) -> dict:
 
 
 class MetricsWriter:
-    """JSONL metrics sink with optional TensorBoard mirroring."""
+    """JSONL metrics sink with optional TensorBoard mirroring (pure-python
+    event writer — works with TensorFlow absent)."""
 
     def __init__(self, directory: str, tensorboard: bool = False,
                  filename: str = "metrics.jsonl"):
@@ -128,11 +135,8 @@ class MetricsWriter:
         self._file = open(self.path, "a", buffering=1)
         self._tb = None
         if tensorboard:
-            try:
-                import tensorflow as tf  # optional, present in some images
-                self._tb = tf.summary.create_file_writer(directory)
-            except Exception:
-                self._tb = None
+            from air_tpu.utils.tb_writer import EventWriter
+            self._tb = EventWriter(directory)
 
     def write(self, step: int, scalars: dict, prefix: str = ""):
         record = {"step": int(step), "time": time.time()}
@@ -148,14 +152,21 @@ class MetricsWriter:
             record[k] = float(v) if v.size == 1 else v.tolist()
         self._file.write(json.dumps(record) + "\n")
         if self._tb is not None:
-            import tensorflow as tf
-            with self._tb.as_default():
-                for k, v in record.items():
-                    if k in ("step", "time"):
-                        continue
-                    if isinstance(v, float) and np.isfinite(v):
-                        tf.summary.scalar(k, v, step=step)
+            self._tb.add_scalars(
+                {k: v for k, v in record.items()
+                 if k not in ("step", "time")
+                 and isinstance(v, float) and np.isfinite(v)},
+                step=step)
             self._tb.flush()
+
+    def write_histograms(self, step: int, arrays: dict, prefix: str = ""):
+        """True per-tensor histograms to the TB sink (reference
+        air/air_model.py:643-687); no-op without tensorboard=True."""
+        if self._tb is None:
+            return
+        for name, values in arrays.items():
+            self._tb.add_histogram(f"{prefix}{name}", values, step=step)
+        self._tb.flush()
 
     def close(self):
         self._file.close()

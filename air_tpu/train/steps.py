@@ -95,6 +95,10 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
                     gc.ravel())
                 gstats[name + "_grad_applied_avg"] = jnp.mean(gc)
             metrics["grad_stats"] = gstats
+            # raw tensors for TRUE pre/post-clip histograms (reference
+            # air/air_model.py:658-687); the trainer fetches these only
+            # when the TB sink is active
+            metrics["grad_tensors"] = {"original": grads, "applied": clipped}
         return new_state, metrics
 
     if not jit:

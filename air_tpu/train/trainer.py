@@ -173,6 +173,31 @@ class Trainer:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
 
+    # -- summary helpers -------------------------------------------------------
+    def _write_var_summaries(self, step: int):
+        """Per-variable scalar stats (JSONL) + true histograms (TB sink);
+        reference air/air_model.py:643-649."""
+        from air_tpu.train.metrics import variable_summaries, named_leaves
+        self.metrics.write(step, variable_summaries(self.state.params),
+                           prefix="var/")
+        if self.tcfg.tensorboard:
+            self.metrics.write_histograms(
+                step, named_leaves(self.state.params), prefix="var/")
+
+    def _write_grad_summaries(self, step: int, metrics: dict):
+        """Pre/post-clip grad stats (JSONL) + true histograms (TB sink);
+        reference air/air_model.py:658-687. Pops the heavyweight entries
+        from ``metrics`` in place."""
+        from air_tpu.train.metrics import named_leaves
+        grad_tensors = metrics.pop("grad_tensors", None)
+        self.metrics.write(step, metrics.pop("grad_stats"), prefix="grad/")
+        if self.tcfg.tensorboard and grad_tensors is not None:
+            hists = {}
+            for kind, tree in grad_tensors.items():
+                for name, arr in named_leaves(tree).items():
+                    hists[f"{name}_grad_{kind}"] = arr
+            self.metrics.write_histograms(step, hists, prefix="grad/")
+
     # -- evaluation over the full test set in fixed-size chunks ---------------
     def evaluate(self, step: int):
         from air_tpu.train.evaluate import evaluate_params
@@ -245,10 +270,7 @@ class Trainer:
                     print(f"target accuracy {tcfg.stop_at_accuracy} reached")
                     break
                 if step % tcfg.var_summaries_every == 0:
-                    from air_tpu.train.metrics import variable_summaries
-                    self.metrics.write(step,
-                                       variable_summaries(self.state.params),
-                                       prefix="var/")
+                    self._write_var_summaries(step)
             if step % tcfg.save_params_every == 0:
                 save_checkpoint(self.models_dir, self.state, step,
                                 loader_state=self.loader.state())
@@ -260,7 +282,7 @@ class Trainer:
                 if self._shard is not None:
                     imgs, digs = self._shard(imgs, digs)
                 _, gm = self.train_step_gs(self.state, imgs, digs)
-                self.metrics.write(step, gm.pop("grad_stats"), prefix="grad/")
+                self._write_grad_summaries(step, gm)
 
             k = self.loader.chunk(K)
             # chunk() may have rolled over to a new epoch — re-test the
@@ -333,10 +355,7 @@ class Trainer:
                     print(f"target accuracy {tcfg.stop_at_accuracy} reached")
                     break
                 if step % tcfg.var_summaries_every == 0:
-                    from air_tpu.train.metrics import variable_summaries
-                    self.metrics.write(step,
-                                       variable_summaries(self.state.params),
-                                       prefix="var/")
+                    self._write_var_summaries(step)
 
             if step % tcfg.save_params_every == 0:
                 save_checkpoint(self.models_dir, self.state, step,
@@ -346,8 +365,7 @@ class Trainer:
                     step % tcfg.grad_summaries_every == 0:
                 self.state, metrics = self.train_step_gs(
                     self.state, images, targets)
-                gstats = metrics.pop("grad_stats")
-                self.metrics.write(step, gstats, prefix="grad/")
+                self._write_grad_summaries(step, metrics)
             else:
                 self.state, metrics = self.train_step(
                     self.state, images, targets)
