@@ -109,13 +109,13 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     cs = config.canvas_size
     threshold = hp["stopping_threshold"]
 
-    if config.st_impl == "pallas":
+    use_pallas = config.st_impl == "pallas"
+    if use_pallas:
         if config.st_pad_mode != "zeros":
             raise ValueError("st_impl='pallas' only implements "
                              "st_pad_mode='zeros'")
-        from air_tpu.kernels.st_pallas import (
-            pallas_attention_read, pallas_attention_write)
-        st_read, st_write = pallas_attention_read, pallas_attention_write
+        from air_tpu.kernels.st_pallas import pallas_attention_read
+        st_read, st_write = pallas_attention_read, None
     else:
         st_read = functools.partial(attention_read,
                                     pad_mode=config.st_pad_mode)
@@ -156,8 +156,13 @@ def _step(params: dict, config: AIRConfig, hp: dict,
         jnp.stack([zeros, inv_s, -y * inv_s], axis=1),
     ], axis=1)                                                # [B, 2, 3]
 
-    # backward ST: window -> canvas (air/air_model.py:362-366), MXU path
-    window_recon = st_write(vae_recon.reshape(batch, ws, ws), s, x, y, cs)
+    # backward ST: window -> canvas (air/air_model.py:362-366), MXU path.
+    # On the Pallas path the write is fused with the masked canvas
+    # accumulate below (air_tpu/kernels/st_fused.py), so nothing is
+    # materialized here.
+    if not use_pallas:
+        window_recon = st_write(vae_recon.reshape(batch, ws, ws),
+                                s, x, y, cs)
 
     # z_pres head -> Concrete sample (air/air_model.py:368-396)
     z_pres_log_odds = two_layer_head_apply(
@@ -186,10 +191,18 @@ def _step(params: dict, config: AIRConfig, hp: dict,
 
     # canvas += z_pres * window_recon for unfinished items
     # (air/air_model.py:429-439) — the continuous-relaxation trick
-    running_recon += jnp.where(
-        alive[:, None],
-        z_pres[:, None] * window_recon.reshape(batch, cs * cs),
-        0.0)
+    if use_pallas:
+        # fused attention-write + masked accumulate: coeff = alive * z_pres
+        # is exactly where(alive, z_pres * wr, 0)
+        from air_tpu.kernels.st_fused import fused_write_accumulate
+        running_recon = fused_write_accumulate(
+            running_recon, vae_recon.reshape(batch, ws, ws), s, x, y,
+            alive.astype(z_pres.dtype) * z_pres, cs)
+    else:
+        running_recon += jnp.where(
+            alive[:, None],
+            z_pres[:, None] * window_recon.reshape(batch, cs * cs),
+            0.0)
 
     # scale / shift / VAE closed-form KLs, masked by POST-update sum
     # (air/air_model.py:441-496)

@@ -43,6 +43,15 @@ class TrainerConfig:
     epochs: int | None = 300
     max_iterations: int | None = None        # extra stop knob (reference: epochs only)
     stop_at_accuracy: float | None = None    # stop once test accuracy >= this
+    # -- stall detection / auto-recovery (failure-recovery subsystem) --------
+    # AIR training has a known degenerate-counting basin (RESULTS.md stall
+    # analysis) that forms during the annealing grace window and never
+    # escapes. If test accuracy is still below stall_accuracy at
+    # stall_detect_step, the run is declared stalled and restarted from a
+    # fresh re-seeded init (annealing clock included). 0/None disables.
+    stall_detect_step: int | None = None
+    stall_accuracy: float = 0.75
+    max_restarts: int = 3
     num_summaries_every: int = 50            # reference training.py:20
     var_summaries_every: int = 250           # reference training.py:21
     img_summaries_every: int = 500           # reference training.py:22
@@ -173,6 +182,29 @@ class Trainer:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
 
+    # -- stall detection / auto-recovery ---------------------------------------
+    def _maybe_restart_on_stall(self, step: int, acc: float,
+                                restarts: int) -> bool:
+        """True -> the run was declared stalled and state/loader were reset
+        to a fresh re-seeded attempt (annealing clock restarts with
+        state.step = 0)."""
+        tcfg = self.tcfg
+        if not tcfg.stall_detect_step or restarts >= tcfg.max_restarts:
+            return False
+        if step < tcfg.stall_detect_step or acc >= tcfg.stall_accuracy:
+            return False
+        print(f"[stall detected @ {step}] test accuracy {acc:.3f} < "
+              f"{tcfg.stall_accuracy}; restarting (attempt "
+              f"{restarts + 2}/{tcfg.max_restarts + 1})")
+        self.state = create_train_state(
+            self.config, rng=tcfg.seed + 1009 * (restarts + 1))
+        if self.mesh is not None:
+            from air_tpu.parallel.mesh import shard_state
+            self.state = shard_state(self.mesh, self.state)
+        self.loader.epoch = 0
+        self.loader.index = 0
+        return True
+
     # -- summary helpers -------------------------------------------------------
     def _write_var_summaries(self, step: int):
         """Per-variable scalar stats (JSONL) + true histograms (TB sink);
@@ -252,6 +284,7 @@ class Trainer:
 
         t_start = time.time()
         images_seen = 0
+        restarts = 0
         step = int(self.state.step)          # tracked host-side from here on
         total_epochs = tcfg.epochs if tcfg.epochs is not None else 10 ** 9
         max_iters = tcfg.max_iterations
@@ -269,6 +302,10 @@ class Trainer:
                         and acc >= tcfg.stop_at_accuracy:
                     print(f"target accuracy {tcfg.stop_at_accuracy} reached")
                     break
+                if self._maybe_restart_on_stall(step, acc, restarts):
+                    restarts += 1
+                    step = 0
+                    continue
                 if step % tcfg.var_summaries_every == 0:
                     self._write_var_summaries(step)
             if step % tcfg.save_params_every == 0:
@@ -325,7 +362,7 @@ class Trainer:
         print(f"training has ended: step {final_step}, "
               f"test accuracy {acc:.4f}, {ips:.0f} images/sec")
         return {"step": final_step, "test_accuracy": acc,
-                "images_per_sec": ips}
+                "images_per_sec": ips, "restarts": restarts}
 
     # -- main loop -------------------------------------------------------------
     def train(self):

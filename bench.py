@@ -156,6 +156,76 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
     }
 
 
+def measure_dp(n_devices: int, per_device_batch: int, steps: int,
+               warmup: int, seed: int = 0, config: str = "default") -> dict:
+    """Weak-scaling DP measurement over an n-device mesh (state sharded
+    per the parallel layer's rules, batch sharded on the data axis)."""
+    import numpy as np
+    import jax
+    from air_tpu.parallel.mesh import make_mesh, shard_state
+    from air_tpu.parallel.train_parallel import (
+        make_parallel_train_step, shard_batch)
+    from air_tpu.train.state import create_train_state
+    CFG = get_config(config)
+
+    mesh = make_mesh(n_devices)
+    batch = per_device_batch * n_devices
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(size=(batch, CFG.canvas_size ** 2)).astype(
+        np.float32)
+    targets = rng.integers(0, 3, batch).astype(np.int32)
+
+    state = shard_state(mesh, create_train_state(CFG, rng=seed))
+    step_fn = make_parallel_train_step(CFG, mesh, donate=True)
+    si, st = shard_batch(mesh, images, targets)
+    tc0 = time.perf_counter()
+    state, m = step_fn(state, si, st)
+    jax.block_until_ready(m["loss"])
+    compile_time = time.perf_counter() - tc0
+    for _ in range(warmup):
+        state, m = step_fn(state, si, st)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step_fn(state, si, st)
+    jax.block_until_ready(m["loss"])
+    elapsed = time.perf_counter() - t0
+    return {
+        "images_per_sec": batch * steps / elapsed,
+        "step_ms": 1000.0 * elapsed / steps,
+        "compile_s": compile_time,
+        "n_devices": n_devices,
+        "global_batch": batch,
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def measure_dp_subprocess(n_devices: int, per_device_batch: int,
+                          steps: int = 20, warmup: int = 3) -> dict:
+    """Run the DP measurement on a virtual n-device CPU mesh in a child
+    process (the bench box has one real TPU chip; DP weak scaling is the
+    correctness-side evidence, BASELINE config 5)."""
+    code = (
+        "import jax, json, sys; jax.config.update('jax_platforms','cpu'); "
+        f"sys.path.insert(0, {HERE!r}); "
+        "from bench import measure_dp; "
+        f"print('DPRESULT' + json.dumps(measure_dp({n_devices}, "
+        f"{per_device_batch}, {steps}, {warmup})))"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        flags += f" --xla_force_host_platform_device_count={n_devices}"
+    env["XLA_FLAGS"] = flags.strip()
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("DPRESULT"):
+            return json.loads(line[len("DPRESULT"):])
+    raise RuntimeError(f"dp measurement failed: {out.stderr[-2000:]}")
+
+
 def measure_cpu_subprocess(batch_size: int, steps: int = 10) -> dict:
     """Run the same measurement pinned to CPU in a child process."""
     code = (
@@ -184,7 +254,40 @@ def main():
     parser.add_argument("--config", default="default",
                         choices=["default", "scaled", "harder"])
     parser.add_argument("--measure-cpu", action="store_true")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="DP weak scaling over a virtual 8-CPU mesh "
+                             "vs 1-CPU throughput at the same per-device "
+                             "batch")
+    parser.add_argument("--n-devices", type=int, default=8)
     args = parser.parse_args()
+
+    if args.data_parallel:
+        # Correctness-side DP evidence (BASELINE config 5): this box has
+        # ONE physical core, so the n virtual devices timeshare it — true
+        # weak-scaling efficiency is unmeasurable here. What IS meaningful:
+        # the DP program at n-times the global batch should approach the
+        # single-device throughput (ratio -> 1 means the SPMD partitioning
+        # + grad all-reduce add little overhead beyond the serialized
+        # compute).
+        n = args.n_devices
+        print(f"measuring DP overhead on {n} virtual CPU devices...",
+              file=sys.stderr)
+        dp = measure_dp_subprocess(n, args.batch_size)
+        single = measure_cpu_subprocess(args.batch_size, steps=20)
+        ratio = dp["images_per_sec"] / single["images_per_sec"]
+        print(f"dp{n}: {dp['images_per_sec']:.0f} img/s "
+              f"({dp['step_ms']:.1f} ms/step, global batch "
+              f"{dp['global_batch']}); 1-dev: "
+              f"{single['images_per_sec']:.0f} img/s", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"multi_mnist_train_dp{n}_cpu_throughput_ratio",
+            "value": round(ratio, 3),
+            "unit": (f"dp{n} img/s / 1-device img/s on a single-core host "
+                     "(1.0 = zero SPMD overhead; virtual devices share "
+                     "one core)"),
+            "vs_baseline": round(ratio, 2),
+        }))
+        return
 
     if args.measure_cpu or not os.path.exists(BASELINE_FILE):
         print("measuring CPU baseline...", file=sys.stderr)

@@ -34,6 +34,9 @@ def main():
                         "hold window (stall-basin remedy candidate)")
     p.add_argument("--scale-prior-curriculum", action="store_true",
                    help="anneal scale_prior_mean 0 -> -1 over 30k steps")
+    p.add_argument("--stall-restart", type=int, default=0,
+                   help="enable auto-recovery: restart re-seeded if "
+                        "accuracy < 0.75 at this step (0 = off)")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -69,7 +72,8 @@ def main():
         var_summaries_every=10 ** 9,
         save_params_every=10 ** 9, eval_batch_size=1000,
         seed=args.seed, log_every=args.eval_every * 10,
-        source_snapshot=False, device_data=True, multi_step=50)
+        source_snapshot=False, device_data=True, multi_step=50,
+        stall_detect_step=args.stall_restart or None)
 
     test = load_test_data(os.path.join(args.data, "test.airrec"))
     t0 = time.time()
@@ -81,6 +85,7 @@ def main():
         "final_step": result["step"],
         "test_accuracy": result["test_accuracy"],
         "converged": result["test_accuracy"] >= args.stop_acc,
+        "restarts": result.get("restarts", 0),
         "wall_minutes": round((time.time() - t0) / 60, 1),
     }
     os.makedirs(args.out, exist_ok=True)

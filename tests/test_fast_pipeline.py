@@ -188,3 +188,26 @@ def test_trainer_device_data_epoch_bound(tmp_path):
     tr = Trainer(SMALL, tcfg, (images, digits), (images[:8], digits[:8]))
     result = tr.train()
     assert result["step"] == 10  # 2 epochs x 5 batches, not 15
+
+
+def test_stall_detection_restarts(tmp_path):
+    """Auto-recovery: an (artificially) stalled run restarts from a fresh
+    re-seeded init up to max_restarts times, then trains to completion."""
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_model import SMALL
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(64, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 64).astype(np.int32)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "stall"), batch_size=8, epochs=None,
+        max_iterations=6, num_summaries_every=2, img_summaries_every=10 ** 9,
+        grad_summaries_every=0, save_params_every=10 ** 9,
+        var_summaries_every=10 ** 9, eval_batch_size=16, seed=0,
+        log_every=10 ** 9, source_snapshot=False, device_data=True,
+        multi_step=2, stall_detect_step=2, stall_accuracy=2.0,
+        max_restarts=2)
+    tr = Trainer(SMALL, tcfg, (images, digits), (images[:16], digits[:16]))
+    result = tr.train()
+    assert result["restarts"] == 2
+    assert result["step"] == 6   # final attempt ran to the iteration cap

@@ -37,14 +37,69 @@ def test_write_matches_xla():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_batch_padding():
-    """Batch not divisible by the tile gets padded and trimmed."""
-    images, s, x, y = _inputs(b=3)
-    got = pallas_attention_read(images, s, x, y, 12, interpret=True)
-    assert got.shape == (3, 12, 12)
-    want = attention_read(images, s, x, y, 12)
+def test_odd_batch_sizes():
+    """Any batch size works (the grid covers b exactly; the fused kernel
+    picks a block size dividing b — no silent padding exists or is
+    claimed)."""
+    for b in (1, 3, 7):
+        images, s, x, y = _inputs(b=b)
+        got = pallas_attention_read(images, s, x, y, 12, interpret=True)
+        assert got.shape == (b, 12, 12)
+        want = attention_read(images, s, x, y, 12)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def _fused_inputs(b=6, cs=30, ws=12, seed=3):
+    rng = np.random.default_rng(seed)
+    canvas = jnp.asarray(rng.uniform(size=(b, cs * cs)).astype(np.float32))
+    windows = jnp.asarray(rng.uniform(size=(b, ws, ws)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.2, 0.9, b).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-0.7, 0.7, b).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-0.7, 0.7, b).astype(np.float32))
+    coeff = jnp.asarray(rng.uniform(0.0, 1.0, b).astype(np.float32))
+    return canvas, windows, s, x, y, coeff
+
+
+def _xla_write_accumulate(canvas, windows, s, x, y, coeff, cs):
+    wr = attention_write(windows, s, x, y, cs)
+    return canvas + coeff[:, None] * wr.reshape(canvas.shape[0], cs * cs)
+
+
+def test_fused_write_accumulate_matches_xla():
+    from air_tpu.kernels.st_fused import fused_write_accumulate
+    canvas, windows, s, x, y, coeff = _fused_inputs()
+    cs = 30
+    got = fused_write_accumulate(canvas, windows, s, x, y, coeff, cs,
+                                 interpret=True)
+    want = _xla_write_accumulate(canvas, windows, s, x, y, coeff, cs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_write_accumulate_grads():
+    """The all-Pallas VJP must match the XLA composite's gradients for
+    EVERY input: canvas, windows, s, x, y, coeff."""
+    from air_tpu.kernels.st_fused import fused_write_accumulate
+    canvas, windows, s, x, y, coeff = _fused_inputs(b=4, cs=20, ws=8)
+    cs = 20
+    probe = jnp.asarray(np.random.default_rng(9).normal(
+        size=(4, cs * cs)).astype(np.float32))
+
+    def loss_fused(*a):
+        return jnp.sum(probe * fused_write_accumulate(
+            *a, cs, interpret=True))
+
+    def loss_xla(*a):
+        return jnp.sum(probe * _xla_write_accumulate(*a, cs))
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(6)))(
+        canvas, windows, s, x, y, coeff)
+    g2 = jax.grad(loss_xla, argnums=tuple(range(6)))(
+        canvas, windows, s, x, y, coeff)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_grads_match_xla_path():
@@ -80,3 +135,13 @@ def test_model_with_pallas_st():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_p.reconstruction),
                                np.asarray(out_x.reconstruction), atol=1e-4)
+    # training gradients agree between the two implementations
+    def loss(cfg):
+        def f(p):
+            return air_forward(p, cfg, images, targets, k, train=True).loss
+        return jax.grad(f)(params)
+    gx, gp = loss(SMALL), loss(cfg_p)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))
+                           / (jnp.max(jnp.abs(a)) + 1e-8)), gx, gp)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3

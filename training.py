@@ -59,6 +59,12 @@ def main():
     parser.add_argument("--cnn", action="store_true")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
+    parser.add_argument("--stall-restart-step", type=int, default=0,
+                        help="auto-restart from a re-seeded init if test "
+                             "accuracy is below --stall-accuracy at this "
+                             "step (0 = off; device-data loop only)")
+    parser.add_argument("--stall-accuracy", type=float, default=0.75)
+    parser.add_argument("--max-restarts", type=int, default=3)
     parser.add_argument("--anneal-hold", type=int, default=0,
                         help="hold the z_pres prior at its init value for N "
                              "steps before decaying (0 = reference "
@@ -125,6 +131,9 @@ def main():
         n_devices=args.n_devices,
         reader_threads=args.reader_threads,
         stop_at_accuracy=args.stop_at_accuracy,
+        stall_detect_step=args.stall_restart_step or None,
+        stall_accuracy=args.stall_accuracy,
+        max_restarts=args.max_restarts,
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
