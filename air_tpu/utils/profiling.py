@@ -31,6 +31,51 @@ def stop_profiler_trace():
     jax.profiler.stop_trace()
 
 
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a device trace for the enclosed region::
+
+        with profile_trace("/tmp/trace"):
+            for _ in range(20):
+                state, m = train_step(state, images, targets)
+            jax.block_until_ready(m["loss"])
+    """
+    start_profiler_trace(log_dir)
+    try:
+        yield
+    finally:
+        stop_profiler_trace()
+
+
+def compiled_cost_analysis(fn, *args) -> dict:
+    """XLA's own cost model for a jitted function at given example args:
+    total FLOPs, bytes accessed, and (when the backend reports it) an
+    optimal-seconds estimate. The analytic ground truth behind bench.py's
+    MFU readout.
+
+    Returns {} keys absent if the backend provides no analysis.
+    """
+    compiled = jax.jit(fn).lower(*args).compile()
+    try:
+        costs = compiled.cost_analysis()
+    except Exception:
+        return {}
+    if not costs:
+        return {}
+    if isinstance(costs, (list, tuple)):   # some backends wrap in a list
+        costs = costs[0]
+    keep = {}
+    for k in ("flops", "bytes accessed", "optimal_seconds",
+              "utilization operand 0 {}", "transcendentals"):
+        if k in costs:
+            keep[k.replace(" ", "_")] = float(costs[k])
+    # keep any hbm/output bytes breakdown keys too
+    for k, v in costs.items():
+        if "bytes accessed" in k and k not in keep:
+            keep[k.replace(" ", "_")] = float(v)
+    return keep
+
+
 class StepTimer:
     """Wall-clock step statistics with warmup separation.
 
