@@ -119,6 +119,9 @@ def _wmac_fwd_call(canvas, win, wy, wx, coeff, interpret):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, cs, cs), jnp.float32),
+        # the canvas buffer is accumulated in place (input 4 -> output 0):
+        # no fresh [B, cs, cs] allocation per scan step
+        input_output_aliases={4: 0},
         interpret=interpret,
     )(wy.astype(jnp.float32), win.astype(jnp.float32),
       wx.astype(jnp.float32), coeff2, canvas.astype(jnp.float32))
