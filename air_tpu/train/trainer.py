@@ -196,6 +196,17 @@ class Trainer:
         print(f"[stall detected @ {step}] test accuracy {acc:.3f} < "
               f"{tcfg.stall_accuracy}; restarting (attempt "
               f"{restarts + 2}/{tcfg.max_restarts + 1})")
+        # archive the stalled attempt's checkpoints so resume never picks a
+        # stale higher-step file from a failed attempt
+        stale = [f for f in os.listdir(self.models_dir)
+                 if f.startswith("air-model")]
+        if stale:
+            attempt_dir = os.path.join(self.models_dir,
+                                       f"stalled_attempt_{restarts + 1}")
+            os.makedirs(attempt_dir, exist_ok=True)
+            for f in stale:
+                shutil.move(os.path.join(self.models_dir, f),
+                            os.path.join(attempt_dir, f))
         self.state = create_train_state(
             self.config, rng=tcfg.seed + 1009 * (restarts + 1))
         if self.mesh is not None:
