@@ -45,12 +45,19 @@ class TrainerConfig:
     stop_at_accuracy: float | None = None    # stop once test accuracy >= this
     # -- stall detection / auto-recovery (failure-recovery subsystem) --------
     # AIR training has a known degenerate-counting basin (RESULTS.md stall
-    # analysis) that forms during the annealing grace window and never
-    # escapes. If test accuracy is still below stall_accuracy at
-    # stall_detect_step, the run is declared stalled and restarted from a
-    # fresh re-seeded init (annealing clock included). 0/None disables.
+    # analysis): the run pins DEAD FLAT at ~0.63 accuracy (a degenerate
+    # counting code with excellent reconstruction) while healthy slow
+    # convergers keep climbing through the same absolute level. Detection
+    # is therefore slope-based: from stall_detect_step on, a run is
+    # declared stalled when accuracy is below stall_accuracy AND has
+    # improved less than stall_min_progress over the last stall_window
+    # steps; it restarts from a fresh re-seeded init (annealing clock
+    # included), bounded by max_restarts. stall_window=0 degrades to a
+    # pure absolute threshold. None/0 detect step disables.
     stall_detect_step: int | None = None
-    stall_accuracy: float = 0.75
+    stall_accuracy: float = 0.95
+    stall_window: int = 20000
+    stall_min_progress: float = 0.01
     max_restarts: int = 3
     num_summaries_every: int = 50            # reference training.py:20
     var_summaries_every: int = 250           # reference training.py:21
@@ -191,8 +198,18 @@ class Trainer:
         tcfg = self.tcfg
         if not tcfg.stall_detect_step or restarts >= tcfg.max_restarts:
             return False
+        if not hasattr(self, "_eval_history"):
+            self._eval_history = []
+        self._eval_history.append((step, acc))
         if step < tcfg.stall_detect_step or acc >= tcfg.stall_accuracy:
             return False
+        if tcfg.stall_window:
+            past = [a for s, a in self._eval_history
+                    if s <= step - tcfg.stall_window]
+            if not past:
+                return False                  # not enough history yet
+            if acc - past[-1] >= tcfg.stall_min_progress:
+                return False                  # still climbing — not stalled
         print(f"[stall detected @ {step}] test accuracy {acc:.3f} < "
               f"{tcfg.stall_accuracy}; restarting (attempt "
               f"{restarts + 2}/{tcfg.max_restarts + 1})")
@@ -214,6 +231,7 @@ class Trainer:
             self.state = shard_state(self.mesh, self.state)
         self.loader.epoch = 0
         self.loader.index = 0
+        self._eval_history = []
         return True
 
     # -- summary helpers -------------------------------------------------------

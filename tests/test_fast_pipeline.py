@@ -206,8 +206,42 @@ def test_stall_detection_restarts(tmp_path):
         var_summaries_every=10 ** 9, eval_batch_size=16, seed=0,
         log_every=10 ** 9, source_snapshot=False, device_data=True,
         multi_step=2, stall_detect_step=2, stall_accuracy=2.0,
-        max_restarts=2)
+        stall_window=0, max_restarts=2)
     tr = Trainer(SMALL, tcfg, (images, digits), (images[:16], digits[:16]))
     result = tr.train()
     assert result["restarts"] == 2
     assert result["step"] == 6   # final attempt ran to the iteration cap
+
+
+def test_stall_slope_detection(tmp_path):
+    """Slope-based detection: a flat sub-threshold run restarts; a climbing
+    run through the same absolute level does not (RESULTS.md: stalled
+    basins pin dead flat at ~0.63 while slow convergers keep rising)."""
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    from tests.test_model import SMALL
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(32, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 32).astype(np.int32)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "slope"), batch_size=8,
+        source_snapshot=False, device_data=True,
+        stall_detect_step=60000, stall_accuracy=0.95,
+        stall_window=20000, stall_min_progress=0.01, max_restarts=3)
+    tr = Trainer(SMALL, tcfg, (images, digits), (images[:8], digits[:8]))
+
+    # flat trajectory at 0.63 -> restart fires once history spans the window
+    for step, acc in [(40000, 0.630), (50000, 0.632), (60000, 0.633)]:
+        fired = tr._maybe_restart_on_stall(step, acc, restarts=0)
+    assert fired is True
+    assert not tr._eval_history          # history reset for the new attempt
+
+    # climbing trajectory through the same level -> never restarts
+    for step, acc in [(40000, 0.644), (50000, 0.655), (60000, 0.663),
+                      (70000, 0.690), (80000, 0.713)]:
+        assert tr._maybe_restart_on_stall(step, acc, restarts=1) is False
+
+    # restarts exhausted -> no restart even when flat
+    tr._eval_history = []
+    for step, acc in [(40000, 0.63), (60000, 0.63)]:
+        assert tr._maybe_restart_on_stall(step, acc, restarts=3) is False

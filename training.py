@@ -60,10 +60,14 @@ def main():
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
     parser.add_argument("--stall-restart-step", type=int, default=0,
-                        help="auto-restart from a re-seeded init if test "
-                             "accuracy is below --stall-accuracy at this "
-                             "step (0 = off; device-data loop only)")
-    parser.add_argument("--stall-accuracy", type=float, default=0.75)
+                        help="auto-restart from a re-seeded init when test "
+                             "accuracy is below --stall-accuracy AND flat "
+                             "(< --stall-min-progress improvement over "
+                             "--stall-window steps) from this step on "
+                             "(0 = off; device-data loop only)")
+    parser.add_argument("--stall-accuracy", type=float, default=0.95)
+    parser.add_argument("--stall-window", type=int, default=20000)
+    parser.add_argument("--stall-min-progress", type=float, default=0.01)
     parser.add_argument("--max-restarts", type=int, default=3)
     parser.add_argument("--anneal-hold", type=int, default=0,
                         help="hold the z_pres prior at its init value for N "
@@ -133,6 +137,8 @@ def main():
         stop_at_accuracy=args.stop_at_accuracy,
         stall_detect_step=args.stall_restart_step or None,
         stall_accuracy=args.stall_accuracy,
+        stall_window=args.stall_window,
+        stall_min_progress=args.stall_min_progress,
         max_restarts=args.max_restarts,
     )
 
