@@ -28,8 +28,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(HERE, "baseline_cpu.json")
 
 
+ST_IMPL = "xla"
+
+
 def get_config(name: str):
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    DEFAULT_TRAINING_CONFIG = DEFAULT_TRAINING_CONFIG.replace(st_impl=ST_IMPL)
     if name == "default":
         return DEFAULT_TRAINING_CONFIG
     if name == "scaled":
@@ -254,12 +258,18 @@ def main():
     parser.add_argument("--config", default="default",
                         choices=["default", "scaled", "harder"])
     parser.add_argument("--measure-cpu", action="store_true")
+    parser.add_argument("--st-impl", default="xla",
+                        choices=["xla", "pallas"],
+                        help="spatial-transformer implementation for the "
+                             "measured step")
     parser.add_argument("--data-parallel", action="store_true",
                         help="DP weak scaling over a virtual 8-CPU mesh "
                              "vs 1-CPU throughput at the same per-device "
                              "batch")
     parser.add_argument("--n-devices", type=int, default=8)
     args = parser.parse_args()
+    global ST_IMPL
+    ST_IMPL = args.st_impl
 
     if args.data_parallel:
         # Correctness-side DP evidence (BASELINE config 5): this box has
@@ -311,6 +321,8 @@ def main():
 
     mode = "infer" if args.eval else "train"
     suffix = "" if args.config == "default" else f"_{args.config}"
+    if args.st_impl != "xla":
+        suffix += f"_{args.st_impl}"
     out = {
         "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}{suffix}",
         "value": round(result["images_per_sec"], 1),
