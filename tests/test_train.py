@@ -294,3 +294,36 @@ def test_trainer_device_data_var_and_grad_summaries(tmp_path):
             open(tmp_path / "r" / "summary" / "metrics.jsonl")]
     assert any(any(k.startswith("var/") for k in r) for r in recs)
     assert any(any(k.startswith("grad/") for k in r) for r in recs)
+
+
+def test_compiled_cost_analysis():
+    """XLA's cost model is exposed for any jitted fn (profiling subsystem)."""
+    import jax.numpy as jnp
+    from air_tpu.utils.profiling import compiled_cost_analysis
+
+    def f(a, b):
+        return jnp.dot(a, b)
+
+    a = jnp.ones((64, 128), jnp.float32)
+    b = jnp.ones((128, 256), jnp.float32)
+    costs = compiled_cost_analysis(f, a, b)
+    # CPU backend reports flops for a plain matmul: 2*M*N*K
+    if "flops" in costs:
+        assert costs["flops"] >= 2 * 64 * 128 * 256 * 0.5
+
+
+def test_step_timer_and_profile_trace(tmp_path):
+    import time as _time
+    from air_tpu.utils.profiling import StepTimer, profile_trace
+
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        with t.step(4):
+            _time.sleep(0.01)
+    s = t.summary()
+    assert s["steps"] == 2 and s["items_per_sec"] > 0
+
+    with profile_trace(str(tmp_path / "trace")):
+        _ = 1 + 1
+    import os
+    assert os.path.isdir(str(tmp_path / "trace"))
