@@ -87,7 +87,8 @@ def _bwd_kernel(wy_ref, win_ref, wx_ref, coeff_ref, g_ref,
         recon = jax.lax.dot_general(
             tmp, wx_ref[b], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dcoeff_ref[b, 0] = jnp.sum(g * recon)
+        # rank-2 store: Mosaic rejects scalar stores to VMEM
+        dcoeff_ref[b:b + 1, :] = jnp.sum(g * recon).reshape(1, 1)
 
 
 def _block_specs(bb, shapes):

@@ -8,8 +8,11 @@ default and scaled AIR shapes. Prints one JSON line per case.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, steps=200, warmup=20):
