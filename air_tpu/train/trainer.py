@@ -59,6 +59,19 @@ class TrainerConfig:
     stall_window: int = 20000
     stall_min_progress: float = 0.01
     max_restarts: int = 3
+    # Restart schedule ROTATION: on the n-th auto-restart, overlay
+    # restart_schedule_rotation[(n-1) % len] onto the model config's
+    # annealing_schedules (value None deletes a key) and rebuild the train
+    # step. The stall basins respond to different bootstrap schedules
+    # (RESULTS.md remedy matrix: hold rescues tiling/swallowing seeds,
+    # the reference schedule rescues slow-convergers the hold traps), so
+    # re-seeding alone under-uses the restart budget. Empty = re-seed only.
+    # Evaluation always runs at the BASE config (comparable accuracy).
+    restart_schedule_rotation: tuple = ()
+    # When the restart budget is exhausted and the run stalls AGAIN, stop
+    # early (report the stalled accuracy) instead of burning the remaining
+    # max_iterations on a provably dead attempt.
+    stop_on_exhausted_restarts: bool = True
     num_summaries_every: int = 50            # reference training.py:20
     var_summaries_every: int = 250           # reference training.py:21
     img_summaries_every: int = 500           # reference training.py:22
@@ -82,6 +95,28 @@ class TrainerConfig:
     # host-loader gather threads (native C++ backend; reference
     # training.py:38 -t/--reader-threads)
     reader_threads: int = 4
+
+
+# Built-in rotation for restart_schedule_rotation: remedies from the
+# RESULTS.md stall matrix, ordered by observed rescue power. The base
+# attempt runs whatever the model config says (default candidate:
+# hold-15k, RESULTS.md); restarts then try:
+DEFAULT_RESTART_ROTATION = (
+    # 1st restart: keep the prior schedule, anneal the Concrete
+    # temperature 5 -> 1 (soft early z_pres decisions break the
+    # probability-pinned-at-0.5 miscount basin)
+    {"z_pres_temperature": {"init": 5.0, "min": 1.0, "factor": 0.5,
+                            "iters": 5000, "log": False}},
+    # 2nd restart: the unmodified reference schedule (rescues
+    # slow-convergers that the grace window traps in a tiling code)
+    {"z_pres_prior_log_odds": {"init": 1e4, "min": 1e-9, "factor": 0.1,
+                               "iters": 3000, "log": True}},
+    # 3rd restart: double grace window + temperature anneal
+    {"z_pres_prior_log_odds": {"init": 1e4, "min": 1e-9, "factor": 0.1,
+                               "iters": 3000, "log": True, "hold": 30000},
+     "z_pres_temperature": {"init": 5.0, "min": 1.0, "factor": 0.5,
+                            "iters": 5000, "log": False}},
+)
 
 
 def prepare_results_folder(cfg: TrainerConfig) -> str:
@@ -121,6 +156,10 @@ class Trainer:
         """``train_data``: AIRREC path or (images, digits);
         ``test_data``: (images [N, canvas^2], digits [N]) numpy arrays."""
         self.config = model_config.replace(train=True)
+        # the ACTIVE training config: starts as the base config; restart
+        # schedule rotation replaces it per attempt. Evaluation always
+        # uses self.config so accuracies stay comparable across attempts.
+        self.train_config = self.config
         self.tcfg = trainer_config
         self.folder = prepare_results_folder(trainer_config)
         self.models_dir = os.path.join(self.folder, "models")
@@ -191,25 +230,33 @@ class Trainer:
 
     # -- stall detection / auto-recovery ---------------------------------------
     def _maybe_restart_on_stall(self, step: int, acc: float,
-                                restarts: int) -> bool:
-        """True -> the run was declared stalled and state/loader were reset
-        to a fresh re-seeded attempt (annealing clock restarts with
-        state.step = 0)."""
+                                restarts: int) -> str | None:
+        """``"restart"`` -> the run was declared stalled and state/loader
+        were reset to a fresh re-seeded attempt (annealing clock restarts
+        with state.step = 0; schedule rotated if configured).
+        ``"giveup"`` -> stalled again with the restart budget exhausted
+        (stop_on_exhausted_restarts). ``None`` -> keep training."""
         tcfg = self.tcfg
-        if not tcfg.stall_detect_step or restarts >= tcfg.max_restarts:
-            return False
+        if not tcfg.stall_detect_step:
+            return None
         if not hasattr(self, "_eval_history"):
             self._eval_history = []
         self._eval_history.append((step, acc))
         if step < tcfg.stall_detect_step or acc >= tcfg.stall_accuracy:
-            return False
+            return None
         if tcfg.stall_window:
             past = [a for s, a in self._eval_history
                     if s <= step - tcfg.stall_window]
             if not past:
-                return False                  # not enough history yet
+                return None                  # not enough history yet
             if acc - past[-1] >= tcfg.stall_min_progress:
-                return False                  # still climbing — not stalled
+                return None                  # still climbing — not stalled
+        if restarts >= tcfg.max_restarts:
+            if tcfg.stop_on_exhausted_restarts:
+                print(f"[stall detected @ {step}] accuracy {acc:.3f} flat "
+                      f"with restart budget exhausted — giving up early")
+                return "giveup"
+            return None
         print(f"[stall detected @ {step}] test accuracy {acc:.3f} < "
               f"{tcfg.stall_accuracy}; restarting (attempt "
               f"{restarts + 2}/{tcfg.max_restarts + 1})")
@@ -224,15 +271,31 @@ class Trainer:
             for f in stale:
                 shutil.move(os.path.join(self.models_dir, f),
                             os.path.join(attempt_dir, f))
+        # schedule rotation: overlay this attempt's variant onto the BASE
+        # annealing schedules (None value deletes a key); the caller
+        # rebuilds its jitted train step from self.train_config
+        rotation = tcfg.restart_schedule_rotation
+        if rotation:
+            overlay = rotation[restarts % len(rotation)]
+            sched = self.config.schedules        # thawed plain dict
+            for name, spec in overlay.items():
+                if spec is None:
+                    sched.pop(name, None)
+                else:
+                    sched[name] = spec
+            self.train_config = self.config.replace(
+                annealing_schedules=sched)
+            print(f"[restart] schedule variant {restarts % len(rotation)}: "
+                  f"{sorted(overlay)}")
         self.state = create_train_state(
-            self.config, rng=tcfg.seed + 1009 * (restarts + 1))
+            self.train_config, rng=tcfg.seed + 1009 * (restarts + 1))
         if self.mesh is not None:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
         self.loader.epoch = 0
         self.loader.index = 0
         self._eval_history = []
-        return True
+        return "restart"
 
     # -- summary helpers -------------------------------------------------------
     def _write_var_summaries(self, step: int):
@@ -292,14 +355,17 @@ class Trainer:
             make_multi_step, make_parallel_multi_step)
         tcfg = self.tcfg
         K = tcfg.multi_step
-        if self.mesh is not None:
-            multi = make_parallel_multi_step(self.config, K,
-                                             tcfg.batch_size, self.mesh)
-            single = make_parallel_multi_step(self.config, 1,
-                                              tcfg.batch_size, self.mesh)
-        else:
-            multi = make_multi_step(self.config, K, tcfg.batch_size)
-            single = make_multi_step(self.config, 1, tcfg.batch_size)
+
+        def build_steps(cfg):
+            if self.mesh is not None:
+                return (make_parallel_multi_step(cfg, K, tcfg.batch_size,
+                                                 self.mesh),
+                        make_parallel_multi_step(cfg, 1, tcfg.batch_size,
+                                                 self.mesh))
+            return (make_multi_step(cfg, K, tcfg.batch_size),
+                    make_multi_step(cfg, 1, tcfg.batch_size))
+
+        multi, single = build_steps(self.train_config)
 
         cadences = [c for c in (tcfg.num_summaries_every,
                                 tcfg.save_params_every,
@@ -331,9 +397,14 @@ class Trainer:
                         and acc >= tcfg.stop_at_accuracy:
                     print(f"target accuracy {tcfg.stop_at_accuracy} reached")
                     break
-                if self._maybe_restart_on_stall(step, acc, restarts):
+                verdict = self._maybe_restart_on_stall(step, acc, restarts)
+                if verdict == "giveup":
+                    break
+                if verdict == "restart":
                     restarts += 1
                     step = 0
+                    if tcfg.restart_schedule_rotation:
+                        multi, single = build_steps(self.train_config)
                     continue
                 if step % tcfg.var_summaries_every == 0:
                     self._write_var_summaries(step)

@@ -37,11 +37,16 @@ def main():
     p.add_argument("--stall-restart", type=int, default=0,
                    help="enable auto-recovery: restart re-seeded if "
                         "accuracy < 0.75 at this step (0 = off)")
+    p.add_argument("--rotate", type=int, choices=[0, 1], default=1,
+                   help="rotate the bootstrap schedule across restart "
+                        "attempts (DEFAULT_RESTART_ROTATION)")
+    p.add_argument("--max-restarts", type=int, default=3)
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
-    from air_tpu.train.trainer import Trainer, TrainerConfig
+    from air_tpu.train.trainer import (
+        Trainer, TrainerConfig, DEFAULT_RESTART_ROTATION)
     from air_tpu.data.loader import load_test_data
 
     sched = DEFAULT_TRAINING_CONFIG.schedules
@@ -73,7 +78,10 @@ def main():
         save_params_every=10 ** 9, eval_batch_size=1000,
         seed=args.seed, log_every=args.eval_every * 10,
         source_snapshot=False, device_data=True, multi_step=50,
-        stall_detect_step=args.stall_restart or None)
+        stall_detect_step=args.stall_restart or None,
+        max_restarts=args.max_restarts,
+        restart_schedule_rotation=(
+            DEFAULT_RESTART_ROTATION if args.rotate else ()))
 
     test = load_test_data(os.path.join(args.data, "test.airrec"))
     t0 = time.time()

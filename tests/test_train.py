@@ -327,3 +327,44 @@ def test_step_timer_and_profile_trace(tmp_path):
         _ = 1 + 1
     import os
     assert os.path.isdir(str(tmp_path / "trace"))
+
+
+def test_restart_rotation_and_giveup(tmp_path, tiny_dataset):
+    """Auto-recovery rotation: each restart attempt overlays the next
+    schedule variant onto the base config and rebuilds the train step;
+    once the budget is exhausted a still-stalled run gives up early
+    instead of burning max_iterations."""
+    images, digits = tiny_dataset
+    rotation = (
+        {"z_pres_temperature": {"init": 3.0, "min": 1.0, "factor": 0.5,
+                                "iters": 4, "log": False}},
+        {"z_pres_prior_log_odds": {"init": 100.0, "min": 1e-9,
+                                   "factor": 0.1, "iters": 3, "log": True}},
+    )
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "rot"), batch_size=8,
+        epochs=None, max_iterations=1000, num_summaries_every=2,
+        img_summaries_every=10 ** 9, grad_summaries_every=0,
+        var_summaries_every=10 ** 9, save_params_every=10 ** 9,
+        eval_batch_size=16, seed=0, log_every=10 ** 9,
+        source_snapshot=False, device_data=True, multi_step=2,
+        # stall on every eval past step 2: untrained accuracy < 2.0 always
+        stall_detect_step=2, stall_accuracy=2.0, stall_window=0,
+        max_restarts=2, restart_schedule_rotation=rotation,
+        stop_on_exhausted_restarts=True)
+    trainer = Trainer(SMALL, tcfg, (images[:32], digits[:32]),
+                      (images[:16], digits[:16]))
+    result = trainer.train()
+    assert result["restarts"] == 2
+    # gave up early: step far below max_iterations
+    assert result["step"] <= 10
+    # active config carries the LAST rotation variant (index 1), overlaid
+    # on the base schedules
+    sched = trainer.train_config.schedules
+    assert sched["z_pres_prior_log_odds"]["init"] == 100.0
+    # base schedules untouched on the eval-side config
+    assert trainer.config.schedules.get(
+        "z_pres_prior_log_odds", {}).get("init") != 100.0
+    # first variant annealed a DIFFERENT hparam and kept the base prior
+    # schedule (overlay, not replace)
+    assert "z_pres_temperature" in rotation[0]

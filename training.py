@@ -69,6 +69,13 @@ def main():
     parser.add_argument("--stall-window", type=int, default=20000)
     parser.add_argument("--stall-min-progress", type=float, default=0.01)
     parser.add_argument("--max-restarts", type=int, default=3)
+    parser.add_argument("--restart-rotation", type=int, choices=[0, 1],
+                        default=1,
+                        help="rotate the bootstrap schedule across "
+                             "auto-restart attempts (temp-anneal / "
+                             "reference / long-hold variants — see "
+                             "trainer.DEFAULT_RESTART_ROTATION); the base "
+                             "attempt always uses the configured schedule")
     parser.add_argument("--anneal-hold", type=int, default=0,
                         help="hold the z_pres prior at its init value for N "
                              "steps before decaying (0 = reference "
@@ -77,7 +84,8 @@ def main():
     args = parser.parse_args()
 
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
-    from air_tpu.train.trainer import Trainer, TrainerConfig
+    from air_tpu.train.trainer import (
+        Trainer, TrainerConfig, DEFAULT_RESTART_ROTATION)
     from air_tpu.data.loader import load_test_data
 
     # generate a dataset on the fly if asked and absent
@@ -140,6 +148,8 @@ def main():
         stall_window=args.stall_window,
         stall_min_progress=args.stall_min_progress,
         max_restarts=args.max_restarts,
+        restart_schedule_rotation=(
+            DEFAULT_RESTART_ROTATION if args.restart_rotation else ()),
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
