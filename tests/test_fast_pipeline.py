@@ -1,6 +1,8 @@
 """Device-resident multi-step pipeline: exact equivalence with the
 single-step path, epoch bookkeeping, trainer integration."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -192,7 +194,9 @@ def test_trainer_device_data_epoch_bound(tmp_path):
 
 def test_stall_detection_restarts(tmp_path):
     """Auto-recovery: an (artificially) stalled run restarts from a fresh
-    re-seeded init up to max_restarts times, then trains to completion."""
+    re-seeded init up to max_restarts times, then (with the default
+    stop_on_exhausted_restarts) gives up early instead of burning the
+    remaining iteration budget flat."""
     from air_tpu.train.trainer import Trainer, TrainerConfig
     from tests.test_model import SMALL
     rng = np.random.default_rng(0)
@@ -210,7 +214,19 @@ def test_stall_detection_restarts(tmp_path):
     tr = Trainer(SMALL, tcfg, (images, digits), (images[:16], digits[:16]))
     result = tr.train()
     assert result["restarts"] == 2
-    assert result["step"] == 6   # final attempt ran to the iteration cap
+    # final attempt: always-stalled detector fires again -> early give-up
+    # before the iteration cap
+    assert result["step"] <= 6
+
+    # legacy behavior is preserved behind the flag: the exhausted attempt
+    # trains to the iteration cap
+    tcfg2 = dataclasses.replace(
+        tcfg, results_folder=str(tmp_path / "stall2"),
+        stop_on_exhausted_restarts=False)
+    tr2 = Trainer(SMALL, tcfg2, (images, digits), (images[:16], digits[:16]))
+    r2 = tr2.train()
+    assert r2["restarts"] == 2
+    assert r2["step"] == 6   # final attempt ran to the iteration cap
 
 
 def test_stall_slope_detection(tmp_path):
@@ -233,15 +249,16 @@ def test_stall_slope_detection(tmp_path):
     # flat trajectory at 0.63 -> restart fires once history spans the window
     for step, acc in [(40000, 0.630), (50000, 0.632), (60000, 0.633)]:
         fired = tr._maybe_restart_on_stall(step, acc, restarts=0)
-    assert fired is True
+    assert fired == "restart"
     assert not tr._eval_history          # history reset for the new attempt
 
     # climbing trajectory through the same level -> never restarts
     for step, acc in [(40000, 0.644), (50000, 0.655), (60000, 0.663),
                       (70000, 0.690), (80000, 0.713)]:
-        assert tr._maybe_restart_on_stall(step, acc, restarts=1) is False
+        assert tr._maybe_restart_on_stall(step, acc, restarts=1) is None
 
-    # restarts exhausted -> no restart even when flat
+    # restarts exhausted + still flat -> early give-up signal
     tr._eval_history = []
     for step, acc in [(40000, 0.63), (60000, 0.63)]:
-        assert tr._maybe_restart_on_stall(step, acc, restarts=3) is False
+        verdict = tr._maybe_restart_on_stall(step, acc, restarts=3)
+    assert verdict == "giveup"
