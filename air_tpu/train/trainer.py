@@ -102,18 +102,31 @@ class TrainerConfig:
 # attempt runs whatever the model config says (default candidate:
 # hold-15k, RESULTS.md); restarts then try:
 DEFAULT_RESTART_ROTATION = (
-    # 1st restart: keep the prior schedule, anneal the Concrete
-    # temperature 5 -> 1 (soft early z_pres decisions break the
-    # probability-pinned-at-0.5 miscount basin)
-    {"z_pres_temperature": {"init": 5.0, "min": 1.0, "factor": 0.5,
-                            "iters": 5000, "log": False}},
-    # 2nd restart: the unmodified reference schedule (rescues
-    # slow-convergers that the grace window traps in a tiling code)
+    # 1st restart: the unmodified reference schedule (the only variant
+    # with a confirmed rescue so far — sweep_r2 seed 4 converged on it
+    # after both hold attempts stalled; also rescues slow-convergers the
+    # grace window traps in a tiling code)
     {"z_pres_prior_log_odds": {"init": 1e4, "min": 1e-9, "factor": 0.1,
                                "iters": 3000, "log": True}},
-    # 3rd restart: double grace window + temperature anneal
+    # 2nd restart: scale-prior curriculum — start the prior at mean 0
+    # (25px windows) and decay to the reference -1 (13-19px). The dominant
+    # basin is scale-degenerate counting (tiling a digit with two small
+    # windows / swallowing a pair with one large one, RESULTS.md), so walk
+    # the window-size prior from coarse to fine while keeping the hold.
+    {"scale_prior_mean": {"init": 1.0, "min": 0.0, "factor": 0.5,
+                          "iters": 5000, "offset": -1.0}},
+    # 3rd restart: keep the hold, anneal the Concrete temperature 5 -> 1
+    # (soft early z_pres decisions against the prob-pinned-at-0.5 basin)
+    {"z_pres_temperature": {"init": 5.0, "min": 1.0, "factor": 0.5,
+                            "iters": 5000, "log": False}},
+    # 4th restart: double grace window + temperature anneal
     {"z_pres_prior_log_odds": {"init": 1e4, "min": 1e-9, "factor": 0.1,
                                "iters": 3000, "log": True, "hold": 30000},
+     "z_pres_temperature": {"init": 5.0, "min": 1.0, "factor": 0.5,
+                            "iters": 5000, "log": False}},
+    # 5th restart: reference schedule + temperature anneal
+    {"z_pres_prior_log_odds": {"init": 1e4, "min": 1e-9, "factor": 0.1,
+                               "iters": 3000, "log": True},
      "z_pres_temperature": {"init": 5.0, "min": 1.0, "factor": 0.5,
                             "iters": 5000, "log": False}},
 )
