@@ -300,13 +300,22 @@ class Trainer:
                 annealing_schedules=sched)
             print(f"[restart] schedule variant {restarts % len(rotation)}: "
                   f"{sorted(overlay)}")
-        self.state = create_train_state(
-            self.train_config, rng=tcfg.seed + 1009 * (restarts + 1))
+        attempt_seed = tcfg.seed + 1009 * (restarts + 1)
+        self.state = create_train_state(self.train_config, rng=attempt_seed)
         if self.mesh is not None:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
         self.loader.epoch = 0
         self.loader.index = 0
+        # re-seed the DATA ORDER too: epoch permutations are keyed by the
+        # loader seed, so re-seeding params alone replays the identical
+        # early-batch sequence every attempt — and the degenerate-counting
+        # basin is partly data-order-driven (sweep_r2: seeds whose first
+        # attempt stalled tended to stall on every re-seeded attempt)
+        if hasattr(self.loader, "seed"):
+            self.loader.seed = attempt_seed
+            if hasattr(self.loader, "_perm_epoch"):
+                self.loader._perm_epoch = -1       # drop the cached perm
         self._eval_history = []
         return "restart"
 

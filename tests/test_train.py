@@ -368,3 +368,6 @@ def test_restart_rotation_and_giveup(tmp_path, tiny_dataset):
     # first variant annealed a DIFFERENT hparam and kept the base prior
     # schedule (overlay, not replace)
     assert "z_pres_temperature" in rotation[0]
+    # restarts decorrelate the DATA ORDER as well as the params: the
+    # loader runs the last attempt's seed, not the base seed
+    assert trainer.loader.seed == tcfg.seed + 1009 * 2
