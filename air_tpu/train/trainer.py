@@ -301,6 +301,13 @@ class Trainer:
             print(f"[restart] schedule variant {restarts % len(rotation)}: "
                   f"{sorted(overlay)}")
         attempt_seed = tcfg.seed + 1009 * (restarts + 1)
+        # durable record of the recovery event (stdout is often swallowed
+        # by wrappers): attempt index, the accuracy it died at, and which
+        # schedule variant the next attempt runs
+        self.metrics.write(step, {
+            "attempt_ended": restarts + 1, "stalled_accuracy": acc,
+            "next_variant": (restarts % len(rotation)) if rotation else -1,
+        }, prefix="recovery/")
         self.state = create_train_state(self.train_config, rng=attempt_seed)
         if self.mesh is not None:
             from air_tpu.parallel.mesh import shard_state
