@@ -41,6 +41,10 @@ def main():
                    help="rotate the bootstrap schedule across restart "
                         "attempts (DEFAULT_RESTART_ROTATION)")
     p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("--cnn", action="store_true",
+                   help="train with the CNN encoder (the reference "
+                        "CONSTRUCTOR default, air/air_model.py:17; its "
+                        "training driver overrides to False)")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -62,9 +66,11 @@ def main():
         sched["scale_prior_mean"] = {
             "init": 1.0, "min": 0.0, "factor": 0.5, "iters": 5000,
             "offset": -1.0}
-    cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched)
+    cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched,
+                                          cnn=args.cnn)
 
     tag = args.tag or (f"hold{args.hold}"
+                       + ("_cnn" if args.cnn else "")
                        + ("_temp" if args.temp_anneal else "")
                        + ("_spc" if args.scale_prior_curriculum else ""))
     folder = os.path.join(args.out, f"seed{args.seed}_{tag}")
