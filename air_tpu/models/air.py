@@ -94,6 +94,11 @@ def init_air_params(key: jax.Array, config: AIRConfig,
     }
     if config.cnn:
         params["cnn"] = cnn_init(ks[7], config.cnn_filters, dtype)
+    if config.learn_background:
+        # static background canvas, in logit space; sigmoid(-4) ~= 0.018 so
+        # the model starts from an (almost) blank canvas with live gradients
+        params["background"] = jnp.full((config.canvas_size ** 2,), -4.0,
+                                        dtype)
     return params
 
 
@@ -260,10 +265,19 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
     else:
         rnn_input = images
 
+    if config.learn_background:
+        # harder-scenes extension (models/config.py:learn_background): the
+        # canvas starts at the learned static background instead of zeros,
+        # so attention steps only need to explain digits
+        init_recon = jnp.broadcast_to(
+            jax.nn.sigmoid(params["background"]).astype(images.dtype),
+            (batch, cs * cs))
+    else:
+        init_recon = jnp.zeros((batch, cs * cs), images.dtype)
     init_carry = (
         lstm_zero_state(batch, config.rnn_units, images.dtype),
         jnp.zeros((batch,), images.dtype),            # stopping_sum
-        jnp.zeros((batch, cs * cs), images.dtype),    # running_recon
+        init_recon,                                   # running_recon
         jnp.zeros((batch,), images.dtype),            # running_loss
         jnp.zeros((batch,), jnp.int32),               # running_digits
     )

@@ -90,6 +90,16 @@ class AIRConfig:
     # exact quirk; value-identical except a 1-px band, but gradient-dead
     # off-support — training collapses)
     st_pad_mode: str = "zeros"
+    # harder-scenes extension (no reference counterpart): learn a static
+    # background canvas. The generator composites ONE background texture
+    # into every image (reference multi_mnist.py:319-334: read once, added
+    # to each canvas); plain AIR can only explain it by spending z_pres
+    # steps on background patches, which destroys counting (RESULTS.md
+    # harder-scenes analysis). With this flag the reconstruction canvas is
+    # initialized to sigmoid(params["background"]) instead of zeros, so the
+    # static background is absorbed by a dedicated parameter and attention
+    # steps stay digit-only.
+    learn_background: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "vae_recognition_units",

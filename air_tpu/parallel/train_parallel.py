@@ -31,7 +31,8 @@ def shard_batch(mesh: Mesh, images, targets):
 
 
 def make_parallel_train_step(config: AIRConfig, mesh: Mesh, donate=True,
-                             with_grad_stats=False):
+                             with_grad_stats=False,
+                             bg_image=None, bg_schedule=None):
     """Jitted DP(+TP) train step: batch sharded on ``data``; params and
     optimizer state sharded per ``mesh.state_sharding`` (column-split big
     kernels on the ``model`` axis, replicated when model axis is size 1).
@@ -40,7 +41,8 @@ def make_parallel_train_step(config: AIRConfig, mesh: Mesh, donate=True,
     ``(state, images, targets) -> (state, metrics)``.
     """
     step_fn = make_train_step(config, with_grad_stats=with_grad_stats,
-                              jit=False)
+                              jit=False,
+                              bg_image=bg_image, bg_schedule=bg_schedule)
     state_sh = state_sharding(mesh, abstract_train_state(config))
     rep = replicated(mesh)
     data = batch_sharding(mesh)

@@ -34,7 +34,8 @@ def device_epoch_perm(n: int, seed: int, epoch) -> jnp.ndarray:
 
 
 def make_parallel_multi_step(config: AIRConfig, num_steps: int,
-                             batch_size: int, mesh, donate=True):
+                             batch_size: int, mesh, donate=True,
+                             bg_image=None, bg_schedule=None):
     """Sharded (SPMD) variant of ``make_multi_step``: the dataset is
     replicated, each device of the mesh's ``data`` axis gathers and
     processes its slice of every batch, and gradients are pmean'd before
@@ -53,7 +54,8 @@ def make_parallel_multi_step(config: AIRConfig, num_steps: int,
                          f"data axis size {n_data}")
     local_batch = batch_size // n_data
     single = make_train_step(config, donate=False, jit=False,
-                             pmean_axis="data")
+                             pmean_axis="data",
+                             bg_image=bg_image, bg_schedule=bg_schedule)
 
     def sharded_body(state, images, digits, perm, start):
         d = jax.lax.axis_index("data")
@@ -76,7 +78,7 @@ def make_parallel_multi_step(config: AIRConfig, num_steps: int,
 
 
 def make_multi_step(config: AIRConfig, num_steps: int, batch_size: int,
-                    donate=True):
+                    donate=True, bg_image=None, bg_schedule=None):
     """Build a jitted ``(state, images_dev, digits_dev, perm, start) ->
     (state, metrics[K])`` running ``num_steps`` train steps in one dispatch.
 
@@ -84,7 +86,8 @@ def make_multi_step(config: AIRConfig, num_steps: int, batch_size: int,
     [start, start + num_steps) are consumed. Metrics come back as [K]
     arrays (one entry per inner step).
     """
-    single = make_train_step(config, donate=False, jit=False)
+    single = make_train_step(config, donate=False, jit=False,
+                             bg_image=bg_image, bg_schedule=bg_schedule)
 
     def multi_step(state: TrainState, images, digits, perm, start):
         def body(state, i):

@@ -25,19 +25,51 @@ def _global_norm(tree) -> jnp.ndarray:
                         for x in jax.tree_util.tree_leaves(tree)))
 
 
+def bg_intensity(schedule: dict | None, step) -> jnp.ndarray:
+    """Background-curriculum intensity ``s(step)``: 0 until ``start``, then
+    a linear ramp over ``ramp`` steps up to ``target`` (ramp=0 -> jump).
+
+    The harder-scenes generator composites ONE static texture into every
+    canvas at a fixed intensity (reference multi_mnist.py:319-334 dimmer);
+    ramping that intensity in during training lets localization lock in on
+    clean scenes first (RESULTS.md harder-scenes analysis)."""
+    schedule = schedule or {}
+    target = float(schedule.get("target", 1.0))
+    start = float(schedule.get("start", 0))
+    ramp = float(schedule.get("ramp", 0))
+    step = jnp.asarray(step, jnp.float32)
+    if ramp > 0:
+        frac = jnp.clip((step - start) / ramp, 0.0, 1.0)
+    else:
+        frac = (step >= start).astype(jnp.float32)
+    return jnp.asarray(target, jnp.float32) * frac
+
+
 def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
-                    donate=True, jit=True, pmean_axis: str | None = None):
+                    donate=True, jit=True, pmean_axis: str | None = None,
+                    bg_image=None, bg_schedule: dict | None = None):
     """Build a ``train_step(state, images, targets) -> (state, metrics)``;
     jitted unless ``jit=False`` (the parallel layer jits with explicit
     shardings instead). ``pmean_axis`` inserts a gradient/metric pmean over
     that mesh axis (for shard_map-based SPMD where each shard computes
-    grads on its local batch slice)."""
+    grads on its local batch slice).
+
+    ``bg_image`` (a [canvas**2] full-intensity texture) enables on-device
+    background compositing: each batch becomes
+    ``clip(images + s(step) * bg, 0, 1)`` with ``s`` from ``bg_schedule``
+    (see :func:`bg_intensity`) — the background-intensity curriculum runs
+    fully fused inside the jitted step, with zero extra host traffic."""
     if optimizer is None:
         optimizer = make_optimizer(config)
+    bg_flat = (None if bg_image is None
+               else jnp.asarray(bg_image, jnp.float32).reshape(-1))
 
     def train_step(state: TrainState, images, targets):
         step = state.step
         key = jax.random.fold_in(state.key, step)
+        if bg_flat is not None:
+            s = bg_intensity(bg_schedule, step)
+            images = jnp.clip(images + s * bg_flat[None, :], 0.0, 1.0)
         if pmean_axis is not None:
             # decorrelate sampling noise across DP shards
             key = jax.random.fold_in(key, jax.lax.axis_index(pmean_axis))
@@ -75,6 +107,8 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
             "z_pres_prior_log_odds": jnp.asarray(
                 hp["z_pres_prior_log_odds"], jnp.float32),
         }
+        if bg_flat is not None:
+            metrics["bg_intensity"] = bg_intensity(bg_schedule, step)
         if with_grad_stats:
             # per-variable pre/post-clip gradient stats
             # (reference air/air_model.py:658-687)

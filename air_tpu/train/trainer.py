@@ -95,6 +95,13 @@ class TrainerConfig:
     # host-loader gather threads (native C++ backend; reference
     # training.py:38 -t/--reader-threads)
     reader_threads: int = 4
+    # background-intensity curriculum (harder scenes): composite
+    # clip(images + s(step) * bg_image, 0, 1) inside the jitted train step,
+    # with s ramped per bg_schedule ({target, start, ramp}; see
+    # air_tpu.train.steps.bg_intensity). Train data should be the CLEAN
+    # variant of the dataset; test data the composited one.
+    bg_image: object = None
+    bg_schedule: dict | None = None
 
 
 # Built-in rotation for restart_schedule_rotation: remedies from the
@@ -214,18 +221,22 @@ class Trainer:
                 reader_threads=trainer_config.reader_threads)
         self.test_images, self.test_digits = test_data
 
+        bg_kw = {"bg_image": trainer_config.bg_image,
+                 "bg_schedule": trainer_config.bg_schedule}
         if self.mesh is not None:
             from air_tpu.parallel.train_parallel import (
                 make_parallel_train_step, shard_batch)
-            self.train_step = make_parallel_train_step(self.config, self.mesh)
+            self.train_step = make_parallel_train_step(self.config, self.mesh,
+                                                       **bg_kw)
             self.train_step_gs = make_parallel_train_step(
-                self.config, self.mesh, donate=False, with_grad_stats=True)
+                self.config, self.mesh, donate=False, with_grad_stats=True,
+                **bg_kw)
             self._shard = lambda im, tg: shard_batch(self.mesh, im, tg)
         else:
-            self.train_step = make_train_step(self.config)
+            self.train_step = make_train_step(self.config, **bg_kw)
             self.train_step_gs = make_train_step(self.config,
                                                  with_grad_stats=True,
-                                                 donate=False)
+                                                 donate=False, **bg_kw)
             self._shard = None
         self.eval_step = make_eval_step(self.config)
         self.metrics = MetricsWriter(self.summary_dir,
@@ -385,14 +396,16 @@ class Trainer:
         tcfg = self.tcfg
         K = tcfg.multi_step
 
+        bg_kw = {"bg_image": tcfg.bg_image, "bg_schedule": tcfg.bg_schedule}
+
         def build_steps(cfg):
             if self.mesh is not None:
                 return (make_parallel_multi_step(cfg, K, tcfg.batch_size,
-                                                 self.mesh),
+                                                 self.mesh, **bg_kw),
                         make_parallel_multi_step(cfg, 1, tcfg.batch_size,
-                                                 self.mesh))
-            return (make_multi_step(cfg, K, tcfg.batch_size),
-                    make_multi_step(cfg, 1, tcfg.batch_size))
+                                                 self.mesh, **bg_kw))
+            return (make_multi_step(cfg, K, tcfg.batch_size, **bg_kw),
+                    make_multi_step(cfg, 1, tcfg.batch_size, **bg_kw))
 
         multi, single = build_steps(self.train_config)
 

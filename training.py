@@ -76,6 +76,27 @@ def main():
                              "reference / long-hold variants — see "
                              "trainer.DEFAULT_RESTART_ROTATION); the base "
                              "attempt always uses the configured schedule")
+    parser.add_argument("--learn-background", action="store_true",
+                        help="model a learned static background canvas "
+                             "(harder scenes; models/config.py: "
+                             "learn_background)")
+    parser.add_argument("--bg-composite-kind", default="",
+                        help="background-intensity curriculum: composite "
+                             "this procedural texture (noise/gradient/"
+                             "stripes/blobs/checker) into each TRAIN batch "
+                             "on device at an annealed intensity; train "
+                             "data should be the CLEAN dataset variant and "
+                             "test data the composited one")
+    parser.add_argument("--bg-composite-seed", type=int, default=0,
+                        help="texture seed (must match the dataset "
+                             "generator's --seed for equivalence)")
+    parser.add_argument("--bg-target", type=float, default=0.3,
+                        help="final composite intensity (the dataset's "
+                             "--bg-max-intensity)")
+    parser.add_argument("--bg-start", type=int, default=10000,
+                        help="step at which the intensity ramp begins")
+    parser.add_argument("--bg-ramp", type=int, default=40000,
+                        help="ramp length in steps (0 = jump to target)")
     parser.add_argument("--anneal-hold", type=int, default=0,
                         help="hold the z_pres prior at its init value for N "
                              "steps before decaying (0 = reference "
@@ -117,7 +138,16 @@ def main():
         learning_rate=args.learning_rate,
         stopping_threshold=args.stopping_threshold,
         cnn=args.cnn,
+        learn_background=args.learn_background,
     )
+    bg_image, bg_schedule = None, None
+    if args.bg_composite_kind:
+        from air_tpu.data.backgrounds import generate_background
+        bg_image = generate_background(
+            args.bg_composite_kind, args.canvas_size,
+            args.bg_composite_seed, max_intensity=1.0).reshape(-1)
+        bg_schedule = {"target": args.bg_target, "start": args.bg_start,
+                       "ramp": args.bg_ramp}
     if args.anneal_hold:
         sched = model_config.schedules
         sched["z_pres_prior_log_odds"]["hold"] = args.anneal_hold
@@ -150,6 +180,8 @@ def main():
         max_restarts=args.max_restarts,
         restart_schedule_rotation=(
             DEFAULT_RESTART_ROTATION if args.restart_rotation else ()),
+        bg_image=bg_image,
+        bg_schedule=bg_schedule,
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
