@@ -1,0 +1,109 @@
+"""Seed-parallel training: N independent AIR models trained simultaneously
+on one chip via ``jax.vmap`` over the fused multi-step train loop.
+
+Why this exists: AIR's headline claim is ROBUSTNESS (reference README.md:18
+— 10/10 runs converge to 98%), so reproducing it means training many seeds.
+The reference trains them one by one. On TPU the default config is
+latency-bound (batch 64 -> ~0.3 ms/step leaves the MXU mostly idle), so
+stacking S model replicas turns every [B, in] x [in, out] matmul into a
+batched [S, B, in] x [S, in, out] one and trains S seeds for roughly the
+wall-clock price of one — a capability the reference's one-graph-per-run
+design cannot express.
+
+Semantics: each replica r is EXACTLY the single-seed run with seed
+``seeds[r]`` — its own init, its own per-step sampling keys, its own epoch
+permutations of the shared device-resident dataset. Verified by
+tests/test_multi_seed.py::test_replica_matches_single_seed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from air_tpu.models.config import AIRConfig
+from air_tpu.train.state import TrainState, create_train_state
+from air_tpu.train.steps import make_train_step, make_eval_step
+
+
+def create_multi_seed_state(config: AIRConfig, seeds) -> TrainState:
+    """A stacked TrainState: every leaf gains a leading [S] seed axis."""
+    states = [create_train_state(config, rng=int(s)) for s in seeds]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def reinit_replica(state: TrainState, config: AIRConfig, index: int,
+                   seed: int) -> TrainState:
+    """Replace replica ``index`` with a fresh init (stall auto-recovery:
+    re-seed only the dead replica, the healthy ones keep training)."""
+    fresh = create_train_state(config, rng=int(seed))
+    return jax.tree_util.tree_map(
+        lambda stacked, new: stacked.at[index].set(new), state, fresh)
+
+
+def multi_seed_perms(n: int, seeds, epoch) -> jnp.ndarray:
+    """[S, n] per-replica epoch permutations — each seed sees its own data
+    order (the stall basin is partly data-order-driven, RESULTS.md)."""
+    from air_tpu.train.fast_pipeline import device_epoch_perm
+    return jnp.stack([device_epoch_perm(n, int(s), epoch) for s in seeds])
+
+
+def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
+                         donate=True, bg_image=None, bg_schedule=None):
+    """Build a jitted ``(state_S, images, digits, perms_S, start) ->
+    (state_S, metrics)`` running ``num_steps`` fused train steps for every
+    replica. ``images``/``digits`` are the SHARED device-resident dataset;
+    ``perms_S`` is [S, n] (one epoch permutation per replica); metrics come
+    back as [K, S] arrays."""
+    single = make_train_step(config, donate=False, jit=False,
+                             bg_image=bg_image, bg_schedule=bg_schedule)
+    vstep = jax.vmap(single, in_axes=(0, 0, 0))
+
+    def multi(state_S, images, digits, perms_S, start):
+        def body(state_S, i):
+            base = (start + i) * batch_size
+            idx = jax.lax.dynamic_slice(
+                perms_S, (0, base), (perms_S.shape[0], batch_size))
+            batch_images = jnp.take(images, idx, axis=0)   # [S, B, D]
+            batch_digits = jnp.take(digits, idx, axis=0)   # [S, B]
+            return vstep(state_S, batch_images, batch_digits)
+
+        return jax.lax.scan(body, state_S, jnp.arange(num_steps))
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_seed_eval(config: AIRConfig):
+    """Jitted per-replica eval: ``(params_S, images, digits, key, step) ->
+    (accuracy[S], loss[S])`` over one test batch (chunk outside)."""
+    eval_step = make_eval_step(config, jit=False)
+
+    def one(params, images, digits, key, step):
+        out = eval_step(params, images, digits, key, step)
+        return out.accuracy, jnp.mean(out.per_example_loss)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None, None, None, None)))
+
+
+def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
+                      key, step, batch_size: int = 500,
+                      eval_fn=None):
+    """Full-test-set accuracy/loss per replica, chunked to bound memory.
+    Returns (accuracy[S], loss[S]) numpy arrays."""
+    import numpy as np
+    if eval_fn is None:
+        eval_fn = make_multi_seed_eval(config)
+    n = len(images)
+    accs, losses, weights = [], [], []
+    for lo in range(0, n - n % batch_size, batch_size):
+        acc, loss = eval_fn(state.params,
+                            jnp.asarray(images[lo:lo + batch_size]),
+                            jnp.asarray(digits[lo:lo + batch_size]),
+                            key, jnp.asarray(step, jnp.int32))
+        accs.append(np.asarray(acc))
+        losses.append(np.asarray(loss))
+        weights.append(batch_size)
+    w = np.asarray(weights, np.float64)[:, None]
+    acc = (np.stack(accs) * w).sum(0) / w.sum()
+    loss = (np.stack(losses) * w).sum(0) / w.sum()
+    return acc, loss

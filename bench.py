@@ -167,6 +167,58 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
     }
 
 
+def measure_multi_seed(n_seeds: int, batch_size: int, steps: int,
+                       warmup: int, seed: int = 0,
+                       config: str = "default", repeats: int = 3) -> dict:
+    """Seed-parallel training throughput: S vmapped model replicas on one
+    chip (air_tpu.train.multi_seed). Aggregate images/sec counts every
+    replica's batch — the robustness-sweep speedup is this divided by the
+    single-seed number."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from air_tpu.train.multi_seed import (
+        create_multi_seed_state, make_multi_seed_step, multi_seed_perms)
+    CFG = get_config(config)
+
+    rng = np.random.default_rng(seed)
+    n = batch_size * (steps + 1)
+    images = jnp.asarray(rng.uniform(
+        size=(n, CFG.canvas_size ** 2)).astype(np.float32))
+    digits = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    seeds = list(range(n_seeds))
+    state = create_multi_seed_state(CFG, seeds)
+    perms = multi_seed_perms(n, seeds, 0)
+    one = make_multi_seed_step(CFG, 1, batch_size, donate=True)
+
+    def run(state, i):
+        return one(state, images, digits, perms,
+                   jnp.asarray(i % steps, jnp.int32))
+
+    tc0 = time.perf_counter()
+    state, m = run(state, 0)
+    jax.block_until_ready(m["loss"])
+    compile_time = time.perf_counter() - tc0
+    for i in range(warmup):
+        state, m = run(state, i)
+    jax.block_until_ready(m["loss"])
+    elapsed = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = run(state, i)
+        jax.block_until_ready(m["loss"])
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    ips = n_seeds * batch_size * steps / elapsed
+    return {
+        "images_per_sec": ips,
+        "step_ms": 1000.0 * elapsed / steps,
+        "compile_s": compile_time,
+        "n_seeds": n_seeds,
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def measure_dp(n_devices: int, per_device_batch: int, steps: int,
                warmup: int, seed: int = 0, config: str = "default") -> dict:
     """Weak-scaling DP measurement over an n-device mesh (state sharded
@@ -272,6 +324,10 @@ def main():
                         choices=["xla", "pallas"],
                         help="spatial-transformer implementation for the "
                              "measured step")
+    parser.add_argument("--multi-seed", type=int, default=0,
+                        help="seed-parallel mode: train S vmapped model "
+                             "replicas at once and report aggregate img/s "
+                             "plus the sweep speedup vs one replica")
     parser.add_argument("--data-parallel", action="store_true",
                         help="DP weak scaling over a virtual 8-CPU mesh "
                              "vs 1-CPU throughput at the same per-device "
@@ -280,6 +336,30 @@ def main():
     args = parser.parse_args()
     global ST_IMPL
     ST_IMPL = args.st_impl
+
+    if args.multi_seed:
+        S = args.multi_seed
+        single = measure(args.batch_size, args.steps, args.warmup,
+                         eval_mode=False, config=args.config,
+                         repeats=args.repeats)
+        multi = measure_multi_seed(S, args.batch_size, args.steps,
+                                   args.warmup, config=args.config,
+                                   repeats=args.repeats)
+        speedup = multi["images_per_sec"] / single["images_per_sec"]
+        print(f"1 seed: {single['images_per_sec']:.0f} img/s "
+              f"({single['step_ms']:.2f} ms); {S} seeds: "
+              f"{multi['images_per_sec']:.0f} img/s aggregate "
+              f"({multi['step_ms']:.2f} ms) -> sweep speedup "
+              f"{speedup:.2f}x of {S}x ideal", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"multi_mnist_train_seedparallel{S}_images_per_sec"
+                      f"_b{args.batch_size}",
+            "value": round(multi["images_per_sec"], 1),
+            "unit": f"aggregate images/sec across {S} vmapped replicas "
+                    f"(sweep speedup {speedup:.2f}x vs sequential)",
+            "vs_baseline": round(speedup, 2),
+        }))
+        return
 
     if args.data_parallel:
         # Correctness-side DP evidence (BASELINE config 5): this box has

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Seed-parallel robustness sweep: train S seeds SIMULTANEOUSLY on one chip
+(air_tpu.train.multi_seed — vmap over the fused multi-step pipeline).
+
+The reference's 10/10-runs claim (reference README.md:18) costs 10
+sequential runs; here the whole table is one process at roughly
+single-run wall-clock (the default config is latency-bound, so batching
+model replicas fattens the matmuls nearly for free).
+
+Per-replica stall auto-recovery: a replica flat below the stall accuracy
+past --stall-restart is re-initialized (new param seed AND new data-order
+seed) without disturbing healthy replicas.
+
+Usage: python scripts/seed_sweep_vmap.py 0 1 2 3 4 5 6 7 8 9 \
+           --data multi_mnist_data --out sweep_vmap --hold 15000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("seeds", type=int, nargs="+")
+    p.add_argument("--data", default="multi_mnist_data")
+    p.add_argument("--out", default="sweep_vmap")
+    p.add_argument("--hold", type=int, default=15000)
+    p.add_argument("--cnn", action="store_true")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--multi-step", type=int, default=50)
+    p.add_argument("--max-iters", type=int, default=150000)
+    p.add_argument("--stop-acc", type=float, default=0.98)
+    p.add_argument("--eval-every", type=int, default=2500)
+    p.add_argument("--eval-batch", type=int, default=500)
+    p.add_argument("--stall-restart", type=int, default=60000,
+                   help="replica step from which a flat sub-threshold "
+                        "replica is re-seeded (0 = off)")
+    p.add_argument("--stall-accuracy", type=float, default=0.95)
+    p.add_argument("--stall-window", type=int, default=20000)
+    p.add_argument("--stall-min-progress", type=float, default=0.01)
+    p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("--tag", default=None)
+    args = p.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    from air_tpu.data.records import read_records
+    from air_tpu.data.loader import load_test_data
+    from air_tpu.train.multi_seed import (
+        create_multi_seed_state, make_multi_seed_step, make_multi_seed_eval,
+        multi_seed_perms, reinit_replica, evaluate_replicas)
+
+    sched = DEFAULT_TRAINING_CONFIG.schedules
+    if args.hold:
+        sched["z_pres_prior_log_odds"]["hold"] = args.hold
+    cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched,
+                                          cnn=args.cnn)
+    tag = args.tag or ("vmap_hold%d%s" % (args.hold,
+                                          "_cnn" if args.cnn else ""))
+
+    rec = read_records(os.path.join(args.data, "common.airrec"))
+    images = jax.device_put(np.asarray(rec["images"], np.float32)
+                            .reshape(len(rec["images"]), -1))
+    digits = jax.device_put(np.asarray(rec["digits"], np.int32))
+    test_images, test_digits = load_test_data(
+        os.path.join(args.data, "test.airrec"),
+        shift_zero_digits_images=True)
+    n = len(images)
+    B, K = args.batch_size, args.multi_step
+    batches_per_epoch = n // B
+
+    S = len(args.seeds)
+    seeds = list(args.seeds)           # current data/param seed per replica
+    state = create_multi_seed_state(cfg, seeds)
+    multi = make_multi_seed_step(cfg, K, B)
+    eval_fn = make_multi_seed_eval(cfg)
+
+    print(f"seed-parallel sweep: S={S} seeds={args.seeds} batch={B} K={K} "
+          f"tag={tag}")
+
+    restarts = [0] * S
+    conv_step = [None] * S             # replica-clock step at convergence
+    final_acc = [0.0] * S
+    history = [[] for _ in range(S)]   # (replica_step, acc)
+    epoch, index = 0, 0
+    perms = multi_seed_perms(n, seeds, epoch)
+    step = 0                           # shared wall clock (loop steps)
+    t0 = time.time()
+
+    def replica_steps():
+        return np.asarray(jax.device_get(state.step))
+
+    while step < args.max_iters:
+        if step % args.eval_every == 0:
+            rsteps = replica_steps()
+            acc, _ = evaluate_replicas(cfg, state, test_images, test_digits,
+                                       jax.random.fold_in(
+                                           jax.random.PRNGKey(0x5EED), step),
+                                       step, batch_size=args.eval_batch,
+                                       eval_fn=eval_fn)
+            line = " ".join(f"s{sd}:{a:.3f}" for sd, a in zip(args.seeds, acc))
+            print(f"[eval @ {step}] {line}", flush=True)
+            for r in range(S):
+                final_acc[r] = float(acc[r])
+                history[r].append((int(rsteps[r]), float(acc[r])))
+                if conv_step[r] is None and acc[r] >= args.stop_acc:
+                    conv_step[r] = int(rsteps[r])
+                    print(f"  seed {args.seeds[r]} converged at replica "
+                          f"step {conv_step[r]} ({acc[r]:.3f})")
+            if all(c is not None for c in conv_step):
+                print("all replicas converged")
+                break
+            # per-replica stall recovery
+            if args.stall_restart:
+                for r in range(S):
+                    if conv_step[r] is not None or \
+                            restarts[r] >= args.max_restarts:
+                        continue
+                    rs, a = history[r][-1]
+                    if rs < args.stall_restart or a >= args.stall_accuracy:
+                        continue
+                    past = [aa for ss, aa in history[r]
+                            if ss <= rs - args.stall_window]
+                    if not past or a - past[-1] >= args.stall_min_progress:
+                        continue
+                    restarts[r] += 1
+                    new_seed = args.seeds[r] + 1009 * restarts[r]
+                    print(f"  [stall] seed {args.seeds[r]} flat at {a:.3f} "
+                          f"(replica step {rs}) -> reinit with seed "
+                          f"{new_seed} (restart {restarts[r]}/"
+                          f"{args.max_restarts})")
+                    state = reinit_replica(state, cfg, r, new_seed)
+                    seeds[r] = new_seed
+                    perms = perms.at[r].set(
+                        multi_seed_perms(n, [new_seed], epoch)[0])
+                    history[r] = []
+
+        remaining = batches_per_epoch - index
+        if remaining <= 0:
+            epoch += 1
+            index = 0
+            perms = multi_seed_perms(n, seeds, epoch)
+            remaining = batches_per_epoch
+        k = min(K, remaining,
+                ((step // args.eval_every) + 1) * args.eval_every - step,
+                args.max_iters - step)
+        if k == K:
+            state, _ = multi(state, images, digits, perms,
+                             jnp.asarray(index, jnp.int32))
+            index += K
+            step += K
+        else:
+            # off-cadence remainder: run single steps
+            single = getattr(main, "_single", None)
+            if single is None:
+                single = make_multi_seed_step(cfg, 1, B)
+                main._single = single
+            for _ in range(k):
+                state, _ = single(state, images, digits, perms,
+                                  jnp.asarray(index, jnp.int32))
+                index += 1
+                step += 1
+
+    wall = time.time() - t0
+    rsteps = replica_steps()
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "results.jsonl"), "a") as f:
+        for r in range(S):
+            rec_out = {
+                "seed": args.seeds[r], "tag": tag,
+                "final_step": int(conv_step[r] if conv_step[r] is not None
+                                  else rsteps[r]),
+                "test_accuracy": final_acc[r],
+                "converged": conv_step[r] is not None
+                or final_acc[r] >= args.stop_acc,
+                "restarts": restarts[r],
+                "wall_minutes": round(wall / 60, 1),
+            }
+            f.write(json.dumps(rec_out) + "\n")
+            print("SWEEPRESULT " + json.dumps(rec_out))
+    agg = sum(1 for r in range(S)
+              if conv_step[r] is not None or final_acc[r] >= args.stop_acc)
+    print(f"{agg}/{S} converged in {wall / 60:.1f} min total "
+          f"({wall / 60 / S:.1f} min/seed equivalent)")
+
+
+if __name__ == "__main__":
+    main()

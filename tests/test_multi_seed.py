@@ -1,0 +1,87 @@
+"""Seed-parallel (vmap) training: replica semantics must match the
+single-seed fused pipeline exactly — same init, same data order, same
+per-step keys."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from air_tpu.models.config import AIRConfig
+from air_tpu.train.state import create_train_state
+from air_tpu.train.fast_pipeline import make_multi_step, device_epoch_perm
+from air_tpu.train.multi_seed import (
+    create_multi_seed_state, make_multi_seed_step, multi_seed_perms,
+    reinit_replica, evaluate_replicas)
+
+SMALL = AIRConfig(
+    max_steps=3, max_digits=2, rnn_units=32, canvas_size=20, windows_size=8,
+    vae_latent_dimensions=6, vae_recognition_units=(32, 16),
+    vae_generative_units=(16, 32),
+    scale_hidden_units=8, shift_hidden_units=8, z_pres_hidden_units=8,
+    cnn=False, train=True,
+)
+N, B, K = 24, 4, 3
+SEEDS = (3, 7)
+
+
+def _data():
+    images = jax.random.uniform(jax.random.PRNGKey(11),
+                                (N, SMALL.canvas_size ** 2))
+    digits = jnp.asarray(np.arange(N) % 3, jnp.int32)
+    return images, digits
+
+
+def test_replica_matches_single_seed():
+    images, digits = _data()
+    multi = make_multi_seed_step(SMALL, K, B, donate=False)
+    state_S = create_multi_seed_state(SMALL, SEEDS)
+    perms = multi_seed_perms(N, SEEDS, 0)
+    state_S, metrics = multi(state_S, images, digits, perms,
+                             jnp.asarray(0, jnp.int32))
+    assert metrics["loss"].shape == (K, len(SEEDS))
+
+    single = make_multi_step(SMALL, K, B, donate=False)
+    for r, seed in enumerate(SEEDS):
+        st = create_train_state(SMALL, rng=seed)
+        st, m = single(st, images, digits, device_epoch_perm(N, seed, 0),
+                       jnp.asarray(0, jnp.int32))
+        np.testing.assert_allclose(np.asarray(metrics["loss"])[:, r],
+                                   np.asarray(m["loss"]), rtol=2e-5)
+        l_multi = jax.tree_util.tree_leaves(state_S.params)
+        l_single = jax.tree_util.tree_leaves(st.params)
+        for a, b in zip(l_multi, l_single):
+            np.testing.assert_allclose(np.asarray(a)[r], np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_replicas_differ_from_each_other():
+    images, digits = _data()
+    multi = make_multi_seed_step(SMALL, K, B, donate=False)
+    state_S = create_multi_seed_state(SMALL, SEEDS)
+    perms = multi_seed_perms(N, SEEDS, 0)
+    state_S, metrics = multi(state_S, images, digits, perms,
+                             jnp.asarray(0, jnp.int32))
+    losses = np.asarray(metrics["loss"])
+    assert not np.allclose(losses[:, 0], losses[:, 1])
+
+
+def test_reinit_replica_only_touches_target():
+    state_S = create_multi_seed_state(SMALL, SEEDS)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state_S)
+    state_S2 = reinit_replica(state_S, SMALL, 1, seed=99)
+    fresh = create_train_state(SMALL, rng=99)
+    for a, b, f in zip(jax.tree_util.tree_leaves(state_S2.params),
+                       jax.tree_util.tree_leaves(before.params),
+                       jax.tree_util.tree_leaves(fresh.params)):
+        np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(b)[0])
+        np.testing.assert_array_equal(np.asarray(a)[1], np.asarray(f))
+
+
+def test_evaluate_replicas_shapes_and_match():
+    images, digits = _data()
+    state_S = create_multi_seed_state(SMALL, SEEDS)
+    acc, loss = evaluate_replicas(SMALL, state_S, np.asarray(images),
+                                  np.asarray(digits),
+                                  jax.random.PRNGKey(0), 0, batch_size=12)
+    assert acc.shape == (len(SEEDS),) and loss.shape == (len(SEEDS),)
+    assert np.all(np.isfinite(loss))
