@@ -24,9 +24,11 @@ run_one () {
     --max-steps 5 --max-digits 3 --device-data \
     --eval-every 2500 --img-every 1000000000 --grad-every 0 \
     --save-every 1000000000 --log-every 25000 \
-    --stop-at-accuracy 0.98 --anneal-hold 15000 \
+    --stop-at-accuracy 0.98 --anneal-hold 15000 --no-cnn \
     --steps 150000 --stall-restart-step 60000 \
     $extra 2>&1 | tail -4
+  # --no-cnn: the fixed-intensity baseline sweep (harder_runs/bg*) ran the
+  # MLP encoder; keep everything but the remedy under test identical
 }
 
 # A: learned background, trained directly on the composited data

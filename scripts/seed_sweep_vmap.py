@@ -44,6 +44,12 @@ def main():
     p.add_argument("--stall-window", type=int, default=20000)
     p.add_argument("--stall-min-progress", type=float, default=0.01)
     p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("--post-restart-iters", type=int, default=80000,
+                   help="guarantee a re-seeded replica at least this many "
+                        "further shared steps before the sweep ends (the "
+                        "shared --max-iters clock would otherwise cut "
+                        "late restart attempts short); hard cap 2x "
+                        "--max-iters")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -93,12 +99,14 @@ def main():
     epoch, index = 0, 0
     perms = multi_seed_perms(n, seeds, epoch)
     step = 0                           # shared wall clock (loop steps)
+    max_iters = args.max_iters         # extended on late restarts
+    hard_cap = 2 * args.max_iters
     t0 = time.time()
 
     def replica_steps():
         return np.asarray(jax.device_get(state.step))
 
-    while step < args.max_iters:
+    while step < max_iters:
         if step % args.eval_every == 0:
             rsteps = replica_steps()
             acc, _ = evaluate_replicas(cfg, state, test_images, test_digits,
@@ -142,6 +150,9 @@ def main():
                     perms = perms.at[r].set(
                         multi_seed_perms(n, [new_seed], epoch)[0])
                     history[r] = []
+                    max_iters = min(hard_cap,
+                                    max(max_iters,
+                                        step + args.post_restart_iters))
 
         remaining = batches_per_epoch - index
         if remaining <= 0:
@@ -151,7 +162,7 @@ def main():
             remaining = batches_per_epoch
         k = min(K, remaining,
                 ((step // args.eval_every) + 1) * args.eval_every - step,
-                args.max_iters - step)
+                max_iters - step)
         if k == K:
             state, _ = multi(state, images, digits, perms,
                              jnp.asarray(index, jnp.int32))

@@ -56,15 +56,24 @@ def main():
     parser.add_argument("--vae-latent", type=int, default=50)
     parser.add_argument("--learning-rate", type=float, default=1e-4)
     parser.add_argument("--stopping-threshold", type=float, default=0.99)
-    parser.add_argument("--cnn", action="store_true")
+    parser.add_argument("--cnn", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="CNN encoder (default ON — the robust-default "
+                             "configuration, 10/10 seeds on the synthetic "
+                             "set, RESULTS.md; also the reference "
+                             "CONSTRUCTOR default, air/air_model.py:17. "
+                             "--no-cnn selects the reference training "
+                             "driver's raw-pixel encoder)")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
-    parser.add_argument("--stall-restart-step", type=int, default=0,
-                        help="auto-restart from a re-seeded init when test "
-                             "accuracy is below --stall-accuracy AND flat "
-                             "(< --stall-min-progress improvement over "
+    parser.add_argument("--stall-restart-step", type=int, default=60000,
+                        help="auto-restart from a re-seeded init (with "
+                             "schedule rotation) when test accuracy is "
+                             "below --stall-accuracy AND flat (< "
+                             "--stall-min-progress improvement over "
                              "--stall-window steps) from this step on "
-                             "(0 = off; device-data loop only)")
+                             "(0 = off; device-data loop only; default ON "
+                             "— part of the robust-default configuration)")
     parser.add_argument("--stall-accuracy", type=float, default=0.95)
     parser.add_argument("--stall-window", type=int, default=20000)
     parser.add_argument("--stall-min-progress", type=float, default=0.01)
@@ -97,11 +106,12 @@ def main():
                         help="step at which the intensity ramp begins")
     parser.add_argument("--bg-ramp", type=int, default=40000,
                         help="ramp length in steps (0 = jump to target)")
-    parser.add_argument("--anneal-hold", type=int, default=0,
+    parser.add_argument("--anneal-hold", type=int, default=15000,
                         help="hold the z_pres prior at its init value for N "
-                             "steps before decaying (0 = reference "
-                             "schedule). 15000 rescues seeds that stall on "
-                             "hard/synthetic data — see RESULTS.md")
+                             "steps before decaying (default 15000 — part "
+                             "of the robust-default configuration, rescues "
+                             "seeds that stall on hard/synthetic data, "
+                             "RESULTS.md; 0 = the reference schedule)")
     args = parser.parse_args()
 
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
