@@ -128,6 +128,19 @@ def load_params(path: str) -> dict:
     return _unflatten_params(arrays)
 
 
+def checkpoint_arch(path: str) -> dict:
+    """Architecture flags inferable from a checkpoint's stored keys —
+    lets inference tools (demo/embeddings/eval) load checkpoints trained
+    at non-default configs without arch flags: {"cnn": bool,
+    "learn_background": bool}."""
+    with np.load(path) as z:
+        keys = set(z.files)
+    return {
+        "cnn": any(k.startswith("params/cnn/") for k in keys),
+        "learn_background": "params/background" in keys,
+    }
+
+
 def load_checkpoint(path: str, config, loader=None) -> TrainState:
     """Rebuild a TrainState from a checkpoint file. ``config`` recreates the
     optimizer structure; ``loader`` (optional) is restored in place."""

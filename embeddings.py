@@ -20,20 +20,21 @@ def main():
 
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
     from air_tpu.serve.model_wrapper import ModelWrapper
-    from air_tpu.train.checkpoint import load_checkpoint, latest_checkpoint
+    from air_tpu.train.checkpoint import (
+        load_checkpoint, latest_checkpoint, checkpoint_arch)
     from air_tpu.tools.embeddings import run
 
     shutil.rmtree(args.results_folder, ignore_errors=True)
     os.makedirs(args.results_folder)
 
-    config = DEFAULT_TRAINING_CONFIG.replace(
-        canvas_size=args.canvas_size, windows_size=args.windows_size,
-        train=False)
     path = args.model_path
     if os.path.isdir(path):
         path = latest_checkpoint(path)
         if path is None:
             sys.exit(f"no checkpoints in {args.model_path}")
+    config = DEFAULT_TRAINING_CONFIG.replace(
+        canvas_size=args.canvas_size, windows_size=args.windows_size,
+        train=False, **checkpoint_arch(path))
     print(f"Restoring model from {path}...")
     state = load_checkpoint(path, config)
     wrapper = ModelWrapper(config, state.params)

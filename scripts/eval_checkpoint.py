@@ -25,28 +25,34 @@ def main():
     parser.add_argument("--canvas-size", type=int, default=50)
     parser.add_argument("--windows-size", type=int, default=28)
     parser.add_argument("--vae-latent", type=int, default=50)
-    parser.add_argument("--cnn", action="store_true")
+    parser.add_argument("--cnn", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="default: auto-detected from checkpoint keys")
     args = parser.parse_args()
 
     import jax
     import numpy as np
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
-    from air_tpu.train.checkpoint import load_params, latest_checkpoint
+    from air_tpu.train.checkpoint import (
+        load_params, latest_checkpoint, checkpoint_arch)
     from air_tpu.train.steps import make_eval_step
     from air_tpu.train.evaluate import evaluate_params
     from air_tpu.train.metrics import summarize_outputs
     from air_tpu.data.loader import load_test_data
 
-    cfg = DEFAULT_TRAINING_CONFIG.replace(
-        max_steps=args.max_steps, max_digits=args.max_digits,
-        rnn_units=args.rnn_units, canvas_size=args.canvas_size,
-        windows_size=args.windows_size,
-        vae_latent_dimensions=args.vae_latent, cnn=args.cnn, train=False)
     path = args.model_path
     if os.path.isdir(path):
         path = latest_checkpoint(path)
         if path is None:
             sys.exit(f"no checkpoints in {args.model_path}")
+    arch = checkpoint_arch(path)
+    if args.cnn is not None:
+        arch["cnn"] = args.cnn
+    cfg = DEFAULT_TRAINING_CONFIG.replace(
+        max_steps=args.max_steps, max_digits=args.max_digits,
+        rnn_units=args.rnn_units, canvas_size=args.canvas_size,
+        windows_size=args.windows_size,
+        vae_latent_dimensions=args.vae_latent, train=False, **arch)
     params = load_params(path)
     images, digits = load_test_data(args.test_data)
 
