@@ -50,8 +50,13 @@ def profile_trace(log_dir: str):
 def compiled_cost_analysis(fn, *args) -> dict:
     """XLA's own cost model for a jitted function at given example args:
     total FLOPs, bytes accessed, and (when the backend reports it) an
-    optimal-seconds estimate. The analytic ground truth behind bench.py's
-    MFU readout.
+    optimal-seconds estimate.
+
+    CAVEAT: XLA counts each while/scan BODY ONCE, ignoring the trip
+    count — for the AIR step (a max_steps-trip scan) the reported FLOPs
+    understate per-step work. bench.py's MFU readout therefore uses the
+    hoisting-aware analytic model (bench.analytic_flops_per_image), which
+    was cross-checked against this on round-2 hardware runs.
 
     Returns {} keys absent if the backend provides no analysis.
     """

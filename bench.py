@@ -48,22 +48,34 @@ def get_config(name: str):
 
 
 def analytic_flops_per_image(cfg, train: bool) -> float:
-    """Analytic matmul FLOPs per image for one forward pass (2 x MACs),
-    x3 for training (backward ~ 2x forward). Elementwise ops ignored —
-    they are noise next to the matmuls. Used for the MFU readout."""
+    """Analytic matmul FLOPs per image (2 x MACs), accounting for XLA's
+    loop-invariant code motion: the recurrent input (raw image or CNN
+    features) is re-fed UNCHANGED every scan step (reference
+    air/air_model.py:286), so the input half of the LSTM gate matmul —
+    by far the largest op — is hoisted out of the scan and computed once
+    per image, not once per step. Verified against XLA cost analysis and
+    slope-timed hardware runs (RESULTS.md round-2 measurement note).
+
+    Training factors: hoisted/encoder terms run fwd + dW (dX is not
+    needed for input data) = 2x fwd; per-step terms run fwd + dX + dW
+    = 3x fwd. Elementwise ops ignored (noise next to the matmuls)."""
     H = cfg.rnn_units
     cs, ws = cfg.canvas_size, cfg.windows_size
-    macs = 0
-    # LSTM fused gate matmul: [B, in+H] @ [in+H, 4H]
-    macs += (cfg.rnn_input_dim + H) * 4 * H
-    # five 2-layer heads (scale/shift mean+logvar, z_pres)
+    # -- loop-invariant (once per image) --
+    inv_macs = cfg.rnn_input_dim * 4 * H          # input part of the gates
+    if cfg.cnn:
+        f = cfg.cnn_filters
+        inv_macs += 25 * (cs * cs * 1 * f
+                          + (cs // 2) ** 2 * f * f
+                          + (cs // 4) ** 2 * f * f)
+    # -- per scan step --
+    macs = H * 4 * H                              # recurrent part of gates
     for hidden, out in ((cfg.scale_hidden_units, 1),
                         (cfg.scale_hidden_units, 1),
                         (cfg.shift_hidden_units, 2),
                         (cfg.shift_hidden_units, 2),
                         (cfg.z_pres_hidden_units, 1)):
         macs += H * hidden + hidden * out
-    # VAE recognition + generative MLPs
     dims = [ws * ws, *cfg.vae_recognition_units]
     macs += sum(a * b for a, b in zip(dims[:-1], dims[1:]))
     macs += 2 * dims[-1] * cfg.vae_latent_dimensions        # mean + logvar
@@ -73,23 +85,47 @@ def analytic_flops_per_image(cfg, train: bool) -> float:
     # write is the mirror image (ws<->cs swapped on the output side)
     macs += ws * cs * cs + ws * cs * ws        # read
     macs += cs * ws * ws + cs * ws * cs        # write
-    per_step = macs * 2.0                      # FLOPs = 2 x MACs
-    if cfg.cnn:
-        # 3 conv layers, 5x5 kernels, 2 max-pools (cs -> cs/2 -> cs/4)
-        f = cfg.cnn_filters
-        per_image_cnn = 2 * 25 * (cs * cs * 1 * f
-                                  + (cs // 2) ** 2 * f * f
-                                  + (cs // 4) ** 2 * f * f)
-    else:
-        per_image_cnn = 0.0
-    total = per_step * cfg.max_steps + per_image_cnn
-    return total * (3.0 if train else 1.0)
+    inv_factor = 2.0 if train else 1.0
+    step_factor = 3.0 if train else 1.0
+    return 2.0 * (inv_macs * inv_factor
+                  + macs * cfg.max_steps * step_factor)
 
 
-# Dense peak FLOP/s per chip for MFU (fp32 path through the MXU; the model
-# runs fp32 — see RESULTS.md bf16 probe). v5e bf16 peak is 197e12; the
-# fp32-effective peak is ~1/4 of that.
-PEAK_FLOPS = {"tpu": 197e12 / 4, "cpu": 1e11}
+# Dense peak FLOP/s per chip for MFU. XLA executes fp32 dots as
+# single-pass bf16 on TPU at default precision (verified: the dominant
+# matmul slope-times at ~165 TF/s, 84% of the v5e bf16 peak — impossible
+# on the fp32 path), so the bf16 peak is the honest denominator.
+PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e11}
+
+
+def _fetch(x):
+    """Force REAL device completion by materializing a value on the host.
+    On the axon-tunneled TPU, jax.block_until_ready acks BEFORE compute
+    finishes (RESULTS.md round-2 measurement note) — naive block-based
+    timing reports impossible speeds. Every timed window must end here."""
+    import numpy as np
+    import jax
+    return np.asarray(jax.device_get(x)).ravel()[0]
+
+
+def slope_time(run_once, k1: int, k2: int, repeats: int) -> float:
+    """Steady-state seconds per call via the two-length slope method:
+    time chains of k1 and k2 calls (each ended by a value fetch) and
+    divide the difference — the tunnel's ~30-50 ms dispatch+readback
+    base latency cancels. Best-of-``repeats`` slopes."""
+    def chain(k):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            out = run_once(i)
+        _fetch(out)
+        return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t1 = chain(k1)
+        t2 = chain(k2)
+        best = min(best, (t2 - t1) / (k2 - k1))
+    return best
 
 
 def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
@@ -108,6 +144,7 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
     targets = jnp.asarray(rng.integers(0, 3, batch_size).astype(np.int32))
 
     state = create_train_state(CFG, rng=seed)
+    k1 = max(steps // 5, 5)
     if eval_mode:
         eval_step = make_eval_step(CFG)
         key = jax.random.PRNGKey(0)
@@ -117,38 +154,28 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
                              jax.random.fold_in(key, i),
                              jnp.zeros((), jnp.int32)).per_example_loss
         tc0 = time.perf_counter()
-        out = run_once(0)
-        jax.block_until_ready(out)
+        _fetch(run_once(0))
         compile_time = time.perf_counter() - tc0
         for i in range(warmup):
             out = run_once(i)
-        jax.block_until_ready(out)
-        # best-of-N windows: the tunnel to the TPU adds variable host-side
-        # latency; peak throughput is the stable, comparable number
-        elapsed = float("inf")
-        for _ in range(max(1, repeats)):
-            t0 = time.perf_counter()
-            for i in range(steps):
-                out = run_once(i)
-            jax.block_until_ready(out)
-            elapsed = min(elapsed, time.perf_counter() - t0)
+        _fetch(out)
+        per_call = slope_time(run_once, k1, steps, repeats)
     else:
         train_step = make_train_step(CFG, donate=True)
-        tc0 = time.perf_counter()
-        state, m = train_step(state, images, targets)
-        jax.block_until_ready(m["loss"])
-        compile_time = time.perf_counter() - tc0
-        for _ in range(warmup):
-            state, m = train_step(state, images, targets)
-        jax.block_until_ready(m["loss"])
-        elapsed = float("inf")
-        for _ in range(max(1, repeats)):
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                state, m = train_step(state, images, targets)
-            jax.block_until_ready(m["loss"])
-            elapsed = min(elapsed, time.perf_counter() - t0)
+        box = [state]
 
+        def run_once(i):
+            box[0], m = train_step(box[0], images, targets)
+            return m["loss"]
+        tc0 = time.perf_counter()
+        _fetch(run_once(0))
+        compile_time = time.perf_counter() - tc0
+        for i in range(warmup):
+            out = run_once(i)
+        _fetch(out)
+        per_call = slope_time(run_once, k1, steps, repeats)
+
+    elapsed = per_call * steps
     ips = batch_size * steps / elapsed
     platform = jax.devices()[0].platform
     flops_im = analytic_flops_per_image(CFG, train=not eval_mode)
@@ -167,13 +194,66 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
     }
 
 
-def measure_multi_seed(n_seeds: int, batch_size: int, steps: int,
+def measure_fused(batch_size: int, K: int, warmup: int, seed: int = 0,
+                  config: str = "default", repeats: int = 3) -> dict:
+    """The REAL training hot path: device-resident dataset with K steps
+    fused per dispatch (air_tpu/train/fast_pipeline — what --device-data
+    training runs). Per-step time = per-dispatch slope / K; dispatch
+    overhead is amortized K-fold, so this is the framework's true
+    steady-state training throughput."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from air_tpu.train.state import create_train_state
+    from air_tpu.train.fast_pipeline import make_multi_step
+    CFG = get_config(config)
+
+    rng = np.random.default_rng(seed)
+    n = batch_size * K
+    images = jnp.asarray(rng.uniform(
+        size=(n, CFG.canvas_size ** 2)).astype(np.float32))
+    digits = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    perm = jnp.arange(n)
+    state = create_train_state(CFG, rng=seed)
+    multi = make_multi_step(CFG, K, batch_size)
+    box = [state]
+
+    def run_once(i):
+        box[0], m = multi(box[0], images, digits, perm,
+                          jnp.asarray(0, jnp.int32))
+        return m["loss"]
+
+    tc0 = time.perf_counter()
+    _fetch(run_once(0))
+    compile_time = time.perf_counter() - tc0
+    for i in range(warmup):
+        out = run_once(i)
+    _fetch(out)
+    per_dispatch = slope_time(run_once, 4, 16, repeats)
+    per_step = per_dispatch / K
+    flops_im = analytic_flops_per_image(CFG, train=True)
+    ips = batch_size / per_step
+    peak = PEAK_FLOPS.get(jax.devices()[0].platform)
+    return {
+        "images_per_sec": ips,
+        "step_ms": 1000.0 * per_step,
+        "compile_s": compile_time,
+        "multi_step": K,
+        "platform": jax.devices()[0].platform,
+        "flops_per_image": flops_im,
+        "achieved_tflops": ips * flops_im / 1e12,
+        "mfu": (ips * flops_im / peak) if peak else None,
+    }
+
+
+def measure_multi_seed(n_seeds: int, batch_size: int, K: int,
                        warmup: int, seed: int = 0,
                        config: str = "default", repeats: int = 3) -> dict:
     """Seed-parallel training throughput: S vmapped model replicas on one
-    chip (air_tpu.train.multi_seed). Aggregate images/sec counts every
-    replica's batch — the robustness-sweep speedup is this divided by the
-    single-seed number."""
+    chip, K steps fused per dispatch — exactly how
+    scripts/seed_sweep_vmap.py runs. Aggregate images/sec counts every
+    replica's batch; the robustness-sweep speedup is this divided by the
+    fused single-seed number (apples to apples: both sides K-fused)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -182,39 +262,37 @@ def measure_multi_seed(n_seeds: int, batch_size: int, steps: int,
     CFG = get_config(config)
 
     rng = np.random.default_rng(seed)
-    n = batch_size * (steps + 1)
+    n = batch_size * K
     images = jnp.asarray(rng.uniform(
         size=(n, CFG.canvas_size ** 2)).astype(np.float32))
     digits = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
     seeds = list(range(n_seeds))
     state = create_multi_seed_state(CFG, seeds)
     perms = multi_seed_perms(n, seeds, 0)
-    one = make_multi_seed_step(CFG, 1, batch_size, donate=True)
+    multi = make_multi_seed_step(CFG, K, batch_size, donate=True)
 
-    def run(state, i):
-        return one(state, images, digits, perms,
-                   jnp.asarray(i % steps, jnp.int32))
+    box = [state]
+
+    def run_once(i):
+        box[0], m = multi(box[0], images, digits, perms,
+                          jnp.asarray(0, jnp.int32))
+        return m["loss"]
 
     tc0 = time.perf_counter()
-    state, m = run(state, 0)
-    jax.block_until_ready(m["loss"])
+    _fetch(run_once(0))
     compile_time = time.perf_counter() - tc0
     for i in range(warmup):
-        state, m = run(state, i)
-    jax.block_until_ready(m["loss"])
-    elapsed = float("inf")
-    for _ in range(max(1, repeats)):
-        t0 = time.perf_counter()
-        for i in range(steps):
-            state, m = run(state, i)
-        jax.block_until_ready(m["loss"])
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    ips = n_seeds * batch_size * steps / elapsed
+        out = run_once(i)
+    _fetch(out)
+    per_dispatch = slope_time(run_once, 4, 16, repeats)
+    per_step = per_dispatch / K
+    ips = n_seeds * batch_size / per_step
     return {
         "images_per_sec": ips,
-        "step_ms": 1000.0 * elapsed / steps,
+        "step_ms": 1000.0 * per_step,
         "compile_s": compile_time,
         "n_seeds": n_seeds,
+        "multi_step": K,
         "platform": jax.devices()[0].platform,
     }
 
@@ -324,6 +402,16 @@ def main():
                         choices=["xla", "pallas"],
                         help="spatial-transformer implementation for the "
                              "measured step")
+    parser.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="measure the device-resident K-fused "
+                             "multi-step pipeline (the --device-data "
+                             "training hot path). DEFAULT when neither "
+                             "--eval nor another mode is given; "
+                             "--no-fused selects the single-dispatch "
+                             "step measurement")
+    parser.add_argument("--multi-step", type=int, default=50,
+                        help="K for --fused")
     parser.add_argument("--multi-seed", type=int, default=0,
                         help="seed-parallel mode: train S vmapped model "
                              "replicas at once and report aggregate img/s "
@@ -337,16 +425,44 @@ def main():
     global ST_IMPL
     ST_IMPL = args.st_impl
 
+    if args.fused is None:
+        # the device-resident fused pipeline IS this framework's training
+        # path — measure it by default (single-dispatch via --no-fused)
+        args.fused = not (args.eval or args.data_parallel
+                          or args.multi_seed)
+    if args.fused:
+        r = measure_fused(args.batch_size, args.multi_step, args.warmup,
+                          config=args.config, repeats=args.repeats)
+        print(f"fused K={r['multi_step']}: {r['images_per_sec']:.0f} img/s "
+              f"({r['step_ms']:.3f} ms/step, mfu {r['mfu']:.3f})",
+              file=sys.stderr)
+        baseline = 598.0
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                baseline = json.load(f)["train_b64"]["images_per_sec"]
+        suffix = "" if args.config == "default" else f"_{args.config}"
+        print(json.dumps({
+            "metric": f"multi_mnist_train_fused{r['multi_step']}"
+                      f"_images_per_sec_b{args.batch_size}{suffix}",
+            "value": round(r["images_per_sec"], 1),
+            "unit": "images/sec (device-resident pipeline, "
+                    f"{r['multi_step']} steps/dispatch)",
+            "vs_baseline": round(r["images_per_sec"] / baseline, 2),
+            "mfu": round(r["mfu"], 4),
+        }))
+        return
+
     if args.multi_seed:
         S = args.multi_seed
-        single = measure(args.batch_size, args.steps, args.warmup,
-                         eval_mode=False, config=args.config,
-                         repeats=args.repeats)
-        multi = measure_multi_seed(S, args.batch_size, args.steps,
+        single = measure_fused(args.batch_size, args.multi_step,
+                               args.warmup, config=args.config,
+                               repeats=args.repeats)
+        multi = measure_multi_seed(S, args.batch_size, args.multi_step,
                                    args.warmup, config=args.config,
                                    repeats=args.repeats)
         speedup = multi["images_per_sec"] / single["images_per_sec"]
-        print(f"1 seed: {single['images_per_sec']:.0f} img/s "
+        print(f"1 seed (fused K={args.multi_step}): "
+              f"{single['images_per_sec']:.0f} img/s "
               f"({single['step_ms']:.2f} ms); {S} seeds: "
               f"{multi['images_per_sec']:.0f} img/s aggregate "
               f"({multi['step_ms']:.2f} ms) -> sweep speedup "

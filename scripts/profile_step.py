@@ -26,30 +26,43 @@ def main():
 
     import numpy as np
     import jax
-    from bench import get_config
+    import jax.numpy as jnp
+    from bench import get_config, slope_time, _fetch
     from air_tpu.train.state import create_train_state
     from air_tpu.train.steps import make_train_step
     from air_tpu.utils.profiling import (
-        StepTimer, compiled_cost_analysis, profile_trace, trace_annotation)
+        compiled_cost_analysis, profile_trace, trace_annotation)
 
     CFG = get_config(args.config)
     rng = np.random.default_rng(0)
-    images = rng.uniform(size=(args.batch_size, CFG.canvas_size ** 2)) \
-        .astype(np.float32)
-    targets = rng.integers(0, 3, args.batch_size).astype(np.int32)
+    # device-resident inputs: feeding numpy would time the host->device
+    # transfer over the tunnel (~27 ms for the scaled batch), not the step
+    images = jnp.asarray(rng.uniform(
+        size=(args.batch_size, CFG.canvas_size ** 2)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 3, args.batch_size)
+                          .astype(np.int32))
     state = create_train_state(CFG, rng=0)
     step_fn = make_train_step(CFG, donate=False)
 
     costs = compiled_cost_analysis(
         lambda st, im, tg: step_fn(st, im, tg), state, images, targets)
 
-    timer = StepTimer(warmup=5)
-    out = None
-    for _ in range(args.steps):
-        with timer.step(args.batch_size):
-            state, out = step_fn(state, images, targets)
-            jax.block_until_ready(out["loss"])
-    summ = timer.summary()
+    # slope-timed (value-fetch-terminated chains — block_until_ready does
+    # not await device completion over the axon tunnel, RESULTS.md)
+    box = [state]
+
+    def run_once(i):
+        box[0], m = step_fn(box[0], images, targets)
+        return m["loss"]
+
+    _fetch(run_once(0))
+    for i in range(5):
+        out = run_once(i)
+    _fetch(out)
+    per_step = slope_time(run_once, max(args.steps // 5, 5), args.steps, 3)
+    state = box[0]
+    summ = {"mean_step_ms": per_step * 1e3,
+            "items_per_sec": args.batch_size / per_step}
 
     if args.trace:
         with profile_trace(args.trace):
