@@ -233,17 +233,24 @@ def measure_fused(batch_size: int, K: int, warmup: int, seed: int = 0,
     per_step = per_dispatch / K
     flops_im = analytic_flops_per_image(CFG, train=True)
     ips = batch_size / per_step
-    peak = PEAK_FLOPS.get(jax.devices()[0].platform)
-    return {
+    platform = jax.devices()[0].platform
+    peak = PEAK_FLOPS.get(platform)
+    out = {
         "images_per_sec": ips,
         "step_ms": 1000.0 * per_step,
         "compile_s": compile_time,
         "multi_step": K,
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "flops_per_image": flops_im,
         "achieved_tflops": ips * flops_im / 1e12,
         "mfu": (ips * flops_im / peak) if peak else None,
     }
+    # NOTE: no cost-analysis-based HBM roofline here — XLA's
+    # bytes-accessed counts scan bodies ONCE (ignoring trip counts), so
+    # for this scan-of-scans program the estimate is off by the trip
+    # count and not honest enough to report (see utils/profiling
+    # compiled_cost_analysis caveat).
+    return out
 
 
 def measure_multi_seed(n_seeds: int, batch_size: int, K: int,
@@ -433,8 +440,8 @@ def main():
     if args.fused:
         r = measure_fused(args.batch_size, args.multi_step, args.warmup,
                           config=args.config, repeats=args.repeats)
-        print(f"fused K={r['multi_step']}: {r['images_per_sec']:.0f} img/s "
-              f"({r['step_ms']:.3f} ms/step, mfu {r['mfu']:.3f})",
+        print(f"fused K={r['multi_step']}: {r['images_per_sec']:.0f} "
+              f"img/s ({r['step_ms']:.3f} ms/step, mfu {r['mfu']:.3f})",
               file=sys.stderr)
         baseline = 598.0
         if os.path.exists(BASELINE_FILE):
