@@ -78,6 +78,21 @@ class TrainLoader:
         self.epoch = int(state["epoch"])
         self.index = int(state["index"])
         self.seed = int(state["seed"])
+        if self._native is not None:
+            self._native.seed = self.seed
+
+    def reseed(self, seed: int):
+        """Fresh data order from the start (stall auto-recovery): rewind
+        to epoch 0 and key future epoch permutations off ``seed`` — the
+        native backend reads its seed per perm() call, so updating both
+        attributes takes effect on the next epoch. NOTE: an already-
+        running prefetch iterator holds its own local position and is not
+        interrupted; reseed before (re)starting iteration."""
+        self.seed = int(seed)
+        self.epoch = 0
+        self.index = 0
+        if self._native is not None:
+            self._native.seed = self.seed
 
     def _perm(self, epoch: int) -> np.ndarray:
         if self._native is not None:

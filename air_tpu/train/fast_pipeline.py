@@ -132,6 +132,14 @@ class DeviceDataPipeline:
         self.index = int(state["index"]) // self.batch_size
         self.seed = int(state["seed"])
 
+    def reseed(self, seed: int):
+        """Fresh data order from the start (stall auto-recovery): rewind
+        to epoch 0 and key all future epoch permutations off ``seed``."""
+        self.seed = int(seed)
+        self.epoch = 0
+        self.index = 0
+        self._perm_epoch = -1              # drop the cached permutation
+
     def perm(self) -> jnp.ndarray:
         if self._perm_epoch != self.epoch:
             self._perm = device_epoch_perm(self.n, self.seed, self.epoch)

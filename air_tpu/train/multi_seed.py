@@ -95,14 +95,16 @@ def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
         eval_fn = make_multi_seed_eval(config)
     n = len(images)
     accs, losses, weights = [], [], []
-    for lo in range(0, n - n % batch_size, batch_size):
-        acc, loss = eval_fn(state.params,
-                            jnp.asarray(images[lo:lo + batch_size]),
-                            jnp.asarray(digits[lo:lo + batch_size]),
+    for lo in range(0, n, batch_size):
+        chunk_images = jnp.asarray(images[lo:lo + batch_size])
+        chunk_digits = jnp.asarray(digits[lo:lo + batch_size])
+        # the tail chunk has its own (smaller) static shape — at most one
+        # extra compile, and no test example is silently dropped
+        acc, loss = eval_fn(state.params, chunk_images, chunk_digits,
                             key, jnp.asarray(step, jnp.int32))
         accs.append(np.asarray(acc))
         losses.append(np.asarray(loss))
-        weights.append(batch_size)
+        weights.append(len(chunk_images))
     w = np.asarray(weights, np.float64)[:, None]
     acc = (np.stack(accs) * w).sum(0) / w.sum()
     loss = (np.stack(losses) * w).sum(0) / w.sum()

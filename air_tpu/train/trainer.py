@@ -139,6 +139,31 @@ DEFAULT_RESTART_ROTATION = (
 )
 
 
+def is_stalled(history, step: int, acc: float, detect_step,
+               stall_accuracy: float, window: int,
+               min_progress: float) -> bool:
+    """Slope-based stall predicate (pure; shared by Trainer auto-recovery
+    and the seed-parallel sweeper): stalled iff past ``detect_step``,
+    below ``stall_accuracy``, AND — when ``window`` > 0 — improved less
+    than ``min_progress`` over the last ``window`` steps of ``history``
+    ([(step, acc), ...] for the CURRENT attempt)."""
+    if not detect_step or step < detect_step or acc >= stall_accuracy:
+        return False
+    if window:
+        past = [a for s, a in history if s <= step - window]
+        if not past:
+            return False                 # not enough history yet
+        if acc - past[-1] >= min_progress:
+            return False                 # still climbing — not stalled
+    return True
+
+
+def attempt_seed(base_seed: int, attempt: int) -> int:
+    """Derived seed for the n-th auto-restart attempt (params AND data
+    order — the stall basin is partly data-order-driven, RESULTS.md)."""
+    return base_seed + 1009 * attempt
+
+
 def prepare_results_folder(cfg: TrainerConfig) -> str:
     """Create results dirs; auto-rename unless overwriting
     (reference training.py:42-62)."""
@@ -266,15 +291,10 @@ class Trainer:
         if not hasattr(self, "_eval_history"):
             self._eval_history = []
         self._eval_history.append((step, acc))
-        if step < tcfg.stall_detect_step or acc >= tcfg.stall_accuracy:
+        if not is_stalled(self._eval_history, step, acc,
+                          tcfg.stall_detect_step, tcfg.stall_accuracy,
+                          tcfg.stall_window, tcfg.stall_min_progress):
             return None
-        if tcfg.stall_window:
-            past = [a for s, a in self._eval_history
-                    if s <= step - tcfg.stall_window]
-            if not past:
-                return None                  # not enough history yet
-            if acc - past[-1] >= tcfg.stall_min_progress:
-                return None                  # still climbing — not stalled
         if restarts >= tcfg.max_restarts:
             if tcfg.stop_on_exhausted_restarts:
                 print(f"[stall detected @ {step}] accuracy {acc:.3f} flat "
@@ -311,7 +331,7 @@ class Trainer:
                 annealing_schedules=sched)
             print(f"[restart] schedule variant {restarts % len(rotation)}: "
                   f"{sorted(overlay)}")
-        attempt_seed = tcfg.seed + 1009 * (restarts + 1)
+        new_seed = attempt_seed(tcfg.seed, restarts + 1)
         # durable record of the recovery event (stdout is often swallowed
         # by wrappers): attempt index, the accuracy it died at, and which
         # schedule variant the next attempt runs
@@ -319,21 +339,17 @@ class Trainer:
             "attempt_ended": restarts + 1, "stalled_accuracy": acc,
             "next_variant": (restarts % len(rotation)) if rotation else -1,
         }, prefix="recovery/")
-        self.state = create_train_state(self.train_config, rng=attempt_seed)
+        self.state = create_train_state(self.train_config, rng=new_seed)
         if self.mesh is not None:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
-        self.loader.epoch = 0
-        self.loader.index = 0
-        # re-seed the DATA ORDER too: epoch permutations are keyed by the
-        # loader seed, so re-seeding params alone replays the identical
-        # early-batch sequence every attempt — and the degenerate-counting
-        # basin is partly data-order-driven (sweep_r2: seeds whose first
-        # attempt stalled tended to stall on every re-seeded attempt)
-        if hasattr(self.loader, "seed"):
-            self.loader.seed = attempt_seed
-            if hasattr(self.loader, "_perm_epoch"):
-                self.loader._perm_epoch = -1       # drop the cached perm
+        # restart the data position AND re-seed the DATA ORDER: epoch
+        # permutations are keyed by the loader seed, so re-seeding params
+        # alone replays the identical early-batch sequence every attempt —
+        # and the degenerate-counting basin is partly data-order-driven
+        # (sweep_r2: seeds whose first attempt stalled tended to stall on
+        # every re-seeded attempt)
+        self.loader.reseed(new_seed)
         self._eval_history = []
         return "restart"
 

@@ -102,17 +102,30 @@ def _fetch(x):
     """Force REAL device completion by materializing a value on the host.
     On the axon-tunneled TPU, jax.block_until_ready acks BEFORE compute
     finishes (RESULTS.md round-2 measurement note) — naive block-based
-    timing reports impossible speeds. Every timed window must end here."""
+    timing reports impossible speeds. Every timed window must end here.
+    Accepts any pytree; fetches one scalar of its first leaf (device
+    programs are single sequential streams, so one output's completion
+    implies the dispatch chain ran)."""
     import numpy as np
     import jax
-    return np.asarray(jax.device_get(x)).ravel()[0]
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jax.device_get(leaf)).ravel()[0]
 
 
 def slope_time(run_once, k1: int, k2: int, repeats: int) -> float:
     """Steady-state seconds per call via the two-length slope method:
     time chains of k1 and k2 calls (each ended by a value fetch) and
     divide the difference — the tunnel's ~30-50 ms dispatch+readback
-    base latency cancels. Best-of-``repeats`` slopes."""
+    base latency cancels. MEDIAN of ``repeats`` slopes (the jitter can
+    produce negative single draws; a min would be biased fast); if even
+    the median is non-positive the chain is noise-dominated and the
+    conservative whole-chain mean T(k2)/k2 (base latency included) is
+    returned instead."""
+    if k2 <= k1:
+        k1 = max(k2 // 2, 1)
+    if k2 <= k1:
+        raise ValueError(f"slope_time needs k2 > k1 (got {k1}, {k2})")
+
     def chain(k):
         t0 = time.perf_counter()
         out = None
@@ -120,12 +133,15 @@ def slope_time(run_once, k1: int, k2: int, repeats: int) -> float:
             out = run_once(i)
         _fetch(out)
         return time.perf_counter() - t0
-    best = float("inf")
+    slopes, t2_last = [], None
     for _ in range(max(1, repeats)):
         t1 = chain(k1)
         t2 = chain(k2)
-        best = min(best, (t2 - t1) / (k2 - k1))
-    return best
+        t2_last = t2
+        slopes.append((t2 - t1) / (k2 - k1))
+    slopes.sort()
+    med = slopes[len(slopes) // 2]
+    return med if med > 0 else t2_last / k2
 
 
 def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
@@ -157,8 +173,7 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
         _fetch(run_once(0))
         compile_time = time.perf_counter() - tc0
         for i in range(warmup):
-            out = run_once(i)
-        _fetch(out)
+            _fetch(run_once(i)) if i == warmup - 1 else run_once(i)
         per_call = slope_time(run_once, k1, steps, repeats)
     else:
         train_step = make_train_step(CFG, donate=True)
@@ -171,8 +186,7 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
         _fetch(run_once(0))
         compile_time = time.perf_counter() - tc0
         for i in range(warmup):
-            out = run_once(i)
-        _fetch(out)
+            _fetch(run_once(i)) if i == warmup - 1 else run_once(i)
         per_call = slope_time(run_once, k1, steps, repeats)
 
     elapsed = per_call * steps
@@ -227,8 +241,7 @@ def measure_fused(batch_size: int, K: int, warmup: int, seed: int = 0,
     _fetch(run_once(0))
     compile_time = time.perf_counter() - tc0
     for i in range(warmup):
-        out = run_once(i)
-    _fetch(out)
+        _fetch(run_once(i)) if i == warmup - 1 else run_once(i)
     per_dispatch = slope_time(run_once, 4, 16, repeats)
     per_step = per_dispatch / K
     flops_im = analytic_flops_per_image(CFG, train=True)
@@ -289,8 +302,7 @@ def measure_multi_seed(n_seeds: int, batch_size: int, K: int,
     _fetch(run_once(0))
     compile_time = time.perf_counter() - tc0
     for i in range(warmup):
-        out = run_once(i)
-    _fetch(out)
+        _fetch(run_once(i)) if i == warmup - 1 else run_once(i)
     per_dispatch = slope_time(run_once, 4, 16, repeats)
     per_step = per_dispatch / K
     ips = n_seeds * batch_size / per_step
@@ -432,6 +444,17 @@ def main():
     global ST_IMPL
     ST_IMPL = args.st_impl
 
+    # refresh/create the CPU baseline FIRST — every mode's vs_baseline
+    # divides by it (and --measure-cpu must work regardless of mode)
+    if not args.data_parallel and (
+            args.measure_cpu or not os.path.exists(BASELINE_FILE)):
+        print("measuring CPU baseline...", file=sys.stderr)
+        cpu = measure_cpu_subprocess(args.batch_size)
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"train_b64": cpu}, f, indent=1)
+        print(f"cpu baseline: {cpu['images_per_sec']:.1f} images/sec",
+              file=sys.stderr)
+
     if args.fused is None:
         # the device-resident fused pipeline IS this framework's training
         # path — measure it by default (single-dispatch via --no-fused)
@@ -511,14 +534,6 @@ def main():
             "vs_baseline": round(ratio, 2),
         }))
         return
-
-    if args.measure_cpu or not os.path.exists(BASELINE_FILE):
-        print("measuring CPU baseline...", file=sys.stderr)
-        cpu = measure_cpu_subprocess(args.batch_size)
-        with open(BASELINE_FILE, "w") as f:
-            json.dump({"train_b64": cpu}, f, indent=1)
-        print(f"cpu baseline: {cpu['images_per_sec']:.1f} images/sec",
-              file=sys.stderr)
 
     with open(BASELINE_FILE) as f:
         baseline = json.load(f)["train_b64"]["images_per_sec"]

@@ -15,45 +15,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, steps=200, warmup=20, repeats=3):
-    """Slope-timed ms/call. Each timed chain ends with a VALUE FETCH: on
-    the axon-tunneled TPU, jax.block_until_ready acks before device
-    compute completes, so naive block-based timing reports impossible
-    speeds (RESULTS.md round-2 measurement note). Timing two chain
-    lengths and dividing the difference cancels the constant
-    dispatch+readback latency."""
-    import numpy as np
-    import jax
-
-    def fetch(o):
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        return np.asarray(jax.device_get(leaf)).ravel()[0]
-
-    out = fn(*args)
-    fetch(out)
+def timeit(fn, *args, steps=1500, warmup=20, repeats=3):
+    """Slope-timed HOST ms/call via bench.slope_time (fetch-terminated
+    chains; see RESULTS.md round-2 measurement note). These ops are tiny
+    (tens of us), so long chains are needed to beat the tunnel's +-10 ms
+    latency jitter — and even then per-call DISPATCH (~0.15 ms) dominates
+    the result; use device_time() below for pure device per-op time."""
+    from bench import slope_time, _fetch
+    _fetch(fn(*args))
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    fetch(out)
-
-    def chain(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = fn(*args)
-        fetch(o)
-        return time.perf_counter() - t0
-
-    # these ops are tiny (tens of us) — the tunnel's +-10 ms latency
-    # jitter swamps short chains (negative slopes observed), so use long
-    # chains and the MEDIAN of several slopes, clamped at 0
-    k1, k2 = max(steps // 5, 5), steps
-    slopes = []
-    for _ in range(max(3, repeats)):
-        t1 = chain(k1)
-        t2 = chain(k2)
-        slopes.append((t2 - t1) / (k2 - k1))
-    slopes.sort()
-    return max(slopes[len(slopes) // 2], 0.0) * 1e3   # ms
+    _fetch(out)
+    return slope_time(lambda i: fn(*args), max(steps // 5, 5), steps,
+                      max(3, repeats)) * 1e3   # ms
 
 
 def device_time(step_fn, init_carry, iters=4000, repeats=5):
@@ -62,17 +37,13 @@ def device_time(step_fn, init_carry, iters=4000, repeats=5):
     loop-invariant hoisting), so the tunnel's dispatch+readback cost is
     paid once per measurement instead of once per op. Slope between two
     scan lengths cancels that constant; median of ``repeats``."""
-    import numpy as np
     import jax
+    from bench import _fetch as fetch
 
     def make(n):
         def body(c, _):
             return step_fn(c), None
         return jax.jit(lambda c: jax.lax.scan(body, c, None, length=n)[0])
-
-    def fetch(o):
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        return np.asarray(jax.device_get(leaf)).ravel()[0]
 
     k1, k2 = iters // 5, iters
     f1, f2 = make(k1), make(k2)

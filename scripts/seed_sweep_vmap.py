@@ -63,6 +63,7 @@ def main():
     from air_tpu.train.multi_seed import (
         create_multi_seed_state, make_multi_seed_step, make_multi_seed_eval,
         multi_seed_perms, reinit_replica, evaluate_replicas)
+    from air_tpu.train.trainer import is_stalled, attempt_seed
 
     sched = DEFAULT_TRAINING_CONFIG.schedules
     if args.hold:
@@ -133,14 +134,15 @@ def main():
                             restarts[r] >= args.max_restarts:
                         continue
                     rs, a = history[r][-1]
-                    if rs < args.stall_restart or a >= args.stall_accuracy:
-                        continue
-                    past = [aa for ss, aa in history[r]
-                            if ss <= rs - args.stall_window]
-                    if not past or a - past[-1] >= args.stall_min_progress:
+                    # same slope-based policy as Trainer auto-recovery
+                    if not is_stalled(history[r], rs, a,
+                                      args.stall_restart,
+                                      args.stall_accuracy,
+                                      args.stall_window,
+                                      args.stall_min_progress):
                         continue
                     restarts[r] += 1
-                    new_seed = args.seeds[r] + 1009 * restarts[r]
+                    new_seed = attempt_seed(args.seeds[r], restarts[r])
                     print(f"  [stall] seed {args.seeds[r]} flat at {a:.3f} "
                           f"(replica step {rs}) -> reinit with seed "
                           f"{new_seed} (restart {restarts[r]}/"

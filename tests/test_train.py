@@ -371,3 +371,53 @@ def test_restart_rotation_and_giveup(tmp_path, tiny_dataset):
     # restarts decorrelate the DATA ORDER as well as the params: the
     # loader runs the last attempt's seed, not the base seed
     assert trainer.loader.seed == tcfg.seed + 1009 * 2
+
+
+def test_is_stalled_predicate():
+    from air_tpu.train.trainer import is_stalled, attempt_seed
+    hist = [(0, 0.3), (20000, 0.62), (40000, 0.625), (60000, 0.63)]
+    # below threshold, flat over the window -> stalled
+    assert is_stalled(hist, 60000, 0.63, 60000, 0.95, 20000, 0.01)
+    # before the detect step -> not stalled
+    assert not is_stalled(hist, 40000, 0.625, 60000, 0.95, 20000, 0.01)
+    # above the accuracy bar -> not stalled
+    assert not is_stalled(hist, 60000, 0.96, 60000, 0.95, 20000, 0.01)
+    # still climbing -> not stalled
+    climb = [(0, 0.3), (40000, 0.80), (60000, 0.90)]
+    assert not is_stalled(climb, 60000, 0.90, 60000, 0.95, 20000, 0.01)
+    # window with no history yet -> not stalled
+    assert not is_stalled([(60000, 0.6)], 60000, 0.6, 60000, 0.95,
+                          20000, 0.01)
+    # window=0 degrades to the absolute threshold
+    assert is_stalled([(60000, 0.6)], 60000, 0.6, 60000, 0.95, 0, 0.01)
+    assert attempt_seed(7, 2) == 7 + 2018
+
+
+def test_device_pipeline_reseed():
+    import numpy as np
+    from air_tpu.train.fast_pipeline import DeviceDataPipeline
+    images = np.random.default_rng(0).uniform(size=(32, 16)).astype("f4")
+    digits = np.zeros(32, "i4")
+    p = DeviceDataPipeline(images, digits, batch_size=4, seed=3)
+    perm_before = np.asarray(p.perm())
+    p.advance(2)
+    p.epoch = 1
+    p.reseed(99)
+    assert p.seed == 99 and p.epoch == 0 and p.index == 0
+    assert not np.array_equal(np.asarray(p.perm()), perm_before)
+
+
+def test_train_loader_reseed():
+    import numpy as np
+    from air_tpu.data.loader import TrainLoader
+    images = np.random.default_rng(0).uniform(size=(40, 16)).astype("f4")
+    digits = np.zeros(40, "i4")
+    loader = TrainLoader((images, digits), batch_size=8, epochs=1, seed=3,
+                         prefetch=0)
+    perm_before = loader._perm(0)
+    loader.epoch, loader.index = 0, 16
+    loader.reseed(99)
+    assert loader.seed == 99 and loader.index == 0
+    if loader._native is not None:
+        assert loader._native.seed == 99
+    assert not np.array_equal(loader._perm(0), perm_before)
