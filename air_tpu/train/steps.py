@@ -151,3 +151,23 @@ def make_eval_step(config: AIRConfig, jit=True):
                            train=False, hparams=hp)
 
     return jax.jit(eval_step) if jit else eval_step
+
+
+def make_eval_summary_step(config: AIRConfig, jit=True):
+    """Eval forward + the reference's full scalar metric taxonomy as ONE
+    device program: only ~250 scalars cross the host boundary.
+
+    Why: fetching the full AIROutputs and summarizing host-side costs
+    ~10 s per eval over the tunneled TPU (tens of MB of readback plus
+    hundreds of eager dispatches) and dominated training wall-clock —
+    48 evals ~ 480 s of a 634 s run. One fused program + one small fetch
+    is the TPU-native shape of the reference's test pass."""
+    from air_tpu.train.metrics import summarize_outputs
+    eval_fn = make_eval_step(config, jit=False)
+
+    def eval_summary(params, images, targets, key, step):
+        out = eval_fn(params, images, targets, key, step)
+        return summarize_outputs(out, targets, config.max_steps,
+                                 config.max_digits)
+
+    return jax.jit(eval_summary) if jit else eval_summary

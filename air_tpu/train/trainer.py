@@ -381,23 +381,47 @@ class Trainer:
     # -- evaluation over the full test set in fixed-size chunks ---------------
     def evaluate(self, step: int):
         from air_tpu.train.evaluate import evaluate_params
-        key = jax.random.fold_in(jax.random.PRNGKey(self.tcfg.seed ^ 0x5EED),
-                                 step)
+        key = self._eval_key(step)
         return evaluate_params(self.eval_step, self.state.params,
                                self.test_images, self.test_digits,
                                batch_size=self.tcfg.eval_batch_size,
                                key=key, step=step)
 
+    def _eval_key(self, step: int):
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.tcfg.seed ^ 0x5EED), step)
+
     def write_eval_summaries(self, step: int, with_images: bool):
-        out = self.evaluate(step)
-        summ = summarize_outputs(out, self.test_digits, self.config.max_steps,
-                                 self.config.max_digits)
+        n = len(self.test_images)
+        if n <= self.tcfg.eval_batch_size and self.mesh is None:
+            # fast path: eval + full metric taxonomy fused in ONE device
+            # program; only scalars come back over the (slow) tunnel
+            if not hasattr(self, "_eval_summary_step"):
+                from air_tpu.train.steps import make_eval_summary_step
+                self._eval_summary_step = make_eval_summary_step(self.config)
+                self._test_dev = (
+                    jax.device_put(np.asarray(self.test_images, np.float32)),
+                    jax.device_put(np.asarray(self.test_digits, np.int32)))
+            summ = jax.device_get(self._eval_summary_step(
+                self.state.params, *self._test_dev,
+                jax.random.fold_in(self._eval_key(step), 0),
+                jnp.asarray(step, jnp.int32)))
+        else:
+            out = self.evaluate(step)
+            summ = summarize_outputs(out, self.test_digits,
+                                     self.config.max_steps,
+                                     self.config.max_digits)
         self.metrics.write(step, summ, prefix="test/")
         if with_images:
-            k = self.tcfg.num_images_to_save
+            k = min(self.tcfg.num_images_to_save, n)
+            out_k = self.eval_step(
+                self.state.params,
+                jnp.asarray(np.asarray(self.test_images[:k], np.float32)),
+                jnp.asarray(np.asarray(self.test_digits[:k], np.int32)),
+                self._eval_key(step), jnp.asarray(step, jnp.int32))
             grid = visualize_reconstructions(
-                self.test_images[:k], out.reconstruction[:k],
-                out.rec_st_back[:k], out.rec_num_digits[:k],
+                self.test_images[:k], out_k.reconstruction,
+                out_k.rec_st_back, out_k.rec_num_digits,
                 self.config.canvas_size, self.config.windows_size, zoom=2)
             save_grid_png(os.path.join(self.summary_dir,
                                        f"reconstruction_{step}.png"), grid)

@@ -421,3 +421,39 @@ def test_train_loader_reseed():
     if loader._native is not None:
         assert loader._native.seed == 99
     assert not np.array_equal(loader._perm(0), perm_before)
+
+
+def test_eval_summary_step_matches_host_path():
+    """The fused on-device eval+summarize program must reproduce the
+    host-side summarize_outputs numbers exactly (same key)."""
+    import jax
+    import jax.numpy as jnp
+    from air_tpu.models.config import AIRConfig
+    from air_tpu.models.air import init_air_params
+    from air_tpu.train.steps import make_eval_step, make_eval_summary_step
+    from air_tpu.train.metrics import summarize_outputs
+
+    cfg = AIRConfig(max_steps=3, max_digits=2, rnn_units=32, canvas_size=20,
+                    windows_size=8, vae_latent_dimensions=6,
+                    vae_recognition_units=(32, 16),
+                    vae_generative_units=(16, 32), scale_hidden_units=8,
+                    shift_hidden_units=8, z_pres_hidden_units=8, cnn=False)
+    params = init_air_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1), (10, 400))
+    digits = jnp.asarray([0, 1, 2, 0, 1, 2, 0, 1, 2, 1], jnp.int32)
+    key = jax.random.PRNGKey(5)
+    step = jnp.zeros((), jnp.int32)
+
+    out = make_eval_step(cfg)(params, images, digits, key, step)
+    host = {k: float(v) for k, v in summarize_outputs(
+        out, digits, cfg.max_steps, cfg.max_digits).items()}
+    dev = {k: float(v) for k, v in jax.device_get(
+        make_eval_summary_step(cfg)(params, images, digits, key,
+                                    step)).items()}
+    assert set(host) == set(dev)
+    for k in host:
+        if np.isnan(host[k]):
+            assert np.isnan(dev[k]), k
+        else:
+            assert np.isclose(host[k], dev[k], rtol=1e-5, atol=1e-6), \
+                (k, host[k], dev[k])
