@@ -76,6 +76,32 @@ def generate_background(kind: str, size: int = 50, seed: int = 0,
     return (bg * max_intensity).astype(np.float32)
 
 
+def estimate_background(images, digits=None) -> np.ndarray:
+    """Per-pixel background estimate from a (possibly composited) train set.
+
+    The harder-scenes generator composites ONE static texture ``bg`` into
+    every canvas at a fixed intensity ``s`` (reference multi_mnist.py:319-334
+    dimmer): ``image = clip(ink + s*bg, 0, 1)``. Hence:
+
+      * 0-digit scenes ARE ``clip(s*bg)`` exactly (no ink at all), so their
+        per-pixel mean recovers the background with zero noise;
+      * failing that (no 0-digit stratum), the per-pixel MINIMUM over many
+        scenes recovers ``clip(s*bg)`` wherever at least one scene leaves
+        that pixel ink-free — essentially everywhere for sparse digits.
+
+    ``images``: [N, canvas**2] (or [N, c, c]) floats in [0, 1];
+    ``digits``: optional [N] per-scene digit counts (enables the exact
+    0-digit path). Returns a flat [canvas**2] float32 estimate.
+    """
+    images = np.asarray(images, np.float32).reshape(len(images), -1)
+    if digits is not None:
+        digits = np.asarray(digits)
+        zero = images[digits == 0]
+        if len(zero):
+            return zero.mean(axis=0)
+    return images.min(axis=0)
+
+
 def background_bank(size: int = 50, seed: int = 0, per_kind: int = 4,
                     max_intensity: float = 0.3) -> list[np.ndarray]:
     """A bank of textures (~19 like the reference's backgrounds/)."""

@@ -70,9 +70,18 @@ class AIROutputs(NamedTuple):
 
 
 def init_air_params(key: jax.Array, config: AIRConfig,
-                    dtype=jnp.float32) -> dict:
+                    dtype=jnp.float32, background_init=None) -> dict:
     """Initialize the AIR parameter pytree (~4.0M params at default config,
-    SURVEY.md §2a parameter count)."""
+    SURVEY.md §2a parameter count).
+
+    ``background_init``: optional [canvas**2] (or [canvas, canvas]) array of
+    PIXEL-space background estimates in [0, 1] used to initialize the
+    ``learn_background`` parameter (stored in logit space). With an exact
+    estimate (e.g. the mean of 0-digit training scenes, which the harder
+    scenes generator composites as ``clip(0 + s*bg)`` — i.e. the background
+    itself), the model reconstructs textured scenes perfectly at step 0 and
+    the localization bootstrap only ever sees unexplained DIGIT ink, like on
+    clean canvases (RESULTS.md harder-scenes analysis)."""
     ks = jax.random.split(key, 9)
     rnn_in = config.rnn_input_dim
     ws2 = config.windows_size ** 2
@@ -95,10 +104,21 @@ def init_air_params(key: jax.Array, config: AIRConfig,
     if config.cnn:
         params["cnn"] = cnn_init(ks[7], config.cnn_filters, dtype)
     if config.learn_background:
-        # static background canvas, in logit space; sigmoid(-4) ~= 0.018 so
-        # the model starts from an (almost) blank canvas with live gradients
-        params["background"] = jnp.full((config.canvas_size ** 2,), -4.0,
-                                        dtype)
+        if background_init is not None:
+            # data-driven init: logit of the clipped pixel-space estimate
+            bg = jnp.asarray(background_init, dtype).reshape(-1)
+            if bg.shape[0] != config.canvas_size ** 2:
+                raise ValueError(
+                    f"background_init has {bg.shape[0]} pixels, expected "
+                    f"{config.canvas_size ** 2}")
+            bg = jnp.clip(bg, 1e-3, 1.0 - 1e-3)
+            params["background"] = jnp.log(bg) - jnp.log1p(-bg)
+        else:
+            # static background canvas, in logit space; sigmoid(-4) ~= 0.018
+            # so the model starts from an (almost) blank canvas with live
+            # gradients
+            params["background"] = jnp.full((config.canvas_size ** 2,), -4.0,
+                                            dtype)
     return params
 
 
@@ -287,7 +307,8 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
         return _step(params, config, hp, images_2d, rnn_input, train,
                      carry, k)
 
-    carry, ys = jax.lax.scan(body, init_carry, step_keys)
+    carry, ys = jax.lax.scan(body, init_carry, step_keys,
+                             unroll=config.scan_unroll)
     (_, _, running_recon, running_loss, running_digits) = carry
     (scales, shifts, z_pres_probs, z_pres, z_pres_kls,
      scale_kls, shift_kls, vae_kls, st_back, windows, latents) = ys

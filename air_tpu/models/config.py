@@ -90,6 +90,17 @@ class AIRConfig:
     # exact quirk; value-identical except a 1-px band, but gradient-dead
     # off-support — training collapses)
     st_pad_mode: str = "zeros"
+    # Adam moment STORAGE dtype ("float32" | "bfloat16"). The default-config
+    # b64 fused step is latency/HBM-bound on weight+optimizer traffic
+    # (RESULTS.md batch-scaling: ~0.35 ms batch-independent cost); storing
+    # mu AND nu in bf16 halves the optimizer-state traffic. Update math
+    # stays fp32 (moments are promoted per step) — see
+    # air_tpu.train.state.scale_by_adam_stored.
+    adam_storage_dtype: str = "float32"
+    # unroll factor for the max_steps attention scan (jax.lax.scan unroll=):
+    # at tiny trip counts (3-5) unrolling removes per-iteration loop
+    # overhead and widens XLA's fusion scope. 1 = rolled (default).
+    scan_unroll: int = 1
     # harder-scenes extension (no reference counterpart): learn a static
     # background canvas. The generator composites ONE background texture
     # into every image (reference multi_mnist.py:319-334: read once, added

@@ -91,15 +91,21 @@ def _axis_weight_matrix(scale: jnp.ndarray, shift: jnp.ndarray,
     p = _pixel_coords(src, in_dim)
     if pad_mode == "clamp_cancel":
         lo, hi, w_lo, w_hi = _corner_weights(p, in_dim)
+        w = (jax.nn.one_hot(lo, in_dim, dtype=p.dtype) * w_lo[..., None]
+             + jax.nn.one_hot(hi, in_dim, dtype=p.dtype) * w_hi[..., None])
     elif pad_mode == "zeros":
-        lo = jnp.floor(p).astype(jnp.int32)
-        hi = lo + 1
-        w_lo = (lo + 1).astype(p.dtype) - p
-        w_hi = p - lo.astype(p.dtype)
+        # closed "hat" form: one_hot(lo)*w_lo + one_hot(hi)*w_hi with
+        # unclamped corners collapses to W[b,i,j] = relu(1 - |p_bi - j|)
+        # (the bilinear tent centered at p; out-of-range corners drop out
+        # automatically). Identical values to the explicit construction
+        # and — crucially — a purely ELEMENTWISE VJP: the one_hot form's
+        # cotangent lowers to gathers/scatters over [B, out, in], the hat
+        # form's to a mask-multiply-reduce the TPU vectorizes flat.
+        # Derivative w.r.t. p differs only at integer p (measure zero).
+        j = jnp.arange(in_dim, dtype=p.dtype)                  # [in]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - j))
     else:
         raise ValueError(f"unknown pad_mode: {pad_mode!r}")
-    w = (jax.nn.one_hot(lo, in_dim, dtype=p.dtype) * w_lo[..., None]
-         + jax.nn.one_hot(hi, in_dim, dtype=p.dtype) * w_hi[..., None])
     return w                                                    # [B, out, in]
 
 

@@ -17,6 +17,52 @@ import math
 import numpy as np
 
 
+# -- pure geometry helpers (headlessly testable; used by PixelCanvas) --------
+
+def paint_stroke(image: np.ndarray, x1, y1, x2, y2, rw, rh,
+                 line_width: int, value: float) -> None:
+    """Rasterize a stroke segment into ``image`` ([h, w], modified in
+    place). (x1,y1)-(x2,y2) are CANVAS coordinates; ``rw``/``rh`` are the
+    canvas-pixels-per-image-pixel ratios (canvas_w / w, canvas_h / h);
+    ``value`` is 1.0 for draw, 0.0 for erase. The brush is a disc of
+    diameter ``line_width`` image pixels stamped along the segment
+    (reference demo/pixel_canvas.py:102-158 semantics)."""
+    h, w = image.shape
+    length = max(math.hypot(x2 - x1, y2 - y1), 1.0)
+    steps = int(length / (min(rw, rh) / 2)) + 1
+    half = (line_width - 1) / 2.0
+    for i in range(steps + 1):
+        cx = x1 + (x2 - x1) * i / steps
+        cy = y1 + (y2 - y1) * i / steps
+        pi, pj = int(cy / rh), int(cx / rw)
+        r = int(math.ceil(half))
+        for di in range(-r, r + 1):
+            for dj in range(-r, r + 1):
+                if di * di + dj * dj <= half * half + 0.5:
+                    ii, jj = pi + di, pj + dj
+                    if 0 <= ii < h and 0 <= jj < w:
+                        image[ii, jj] = value
+
+
+def bbox_canvas_coords(s, sx, sy, cw, ch):
+    """Attention box (scale, shift_x, shift_y) in ST space [-1, 1] ->
+    canvas rectangle (x1, y1, x2, y2): center (1+shift)/2 * canvas, half
+    side scale/2 * canvas (reference demo/pixel_canvas.py:160-191)."""
+    hx, hy = s * cw / 2.0, s * ch / 2.0
+    cx, cy = (1 + sx) * cw / 2.0, (1 + sy) * ch / 2.0
+    return cx - hx, cy - hy, cx + hx, cy + hy
+
+
+def upscale_for_display(image: np.ndarray, cw: int, ch: int) -> np.ndarray:
+    """Pixel-exact integer upscale (np.kron) of [h, w] float image in [0,1]
+    to a [<=ch, <=cw] uint8 frame (reference demo/pixel_canvas.py:51-67)."""
+    h, w = image.shape
+    zy = max(int(math.ceil(ch / h)), 1)
+    zx = max(int(math.ceil(cw / w)), 1)
+    z = np.kron(image, np.ones((zy, zx)))[:ch, :cw]
+    return (z * 255).astype(np.uint8)
+
+
 class PixelCanvas:
     """Drawable/displayable pixel canvas (reference demo/pixel_canvas.py:8-223).
 
@@ -72,29 +118,14 @@ class PixelCanvas:
     def _paint(self, x1, y1, x2, y2):
         """Rasterize a stroke segment with the current line width."""
         _, _, rw, rh = self._scale()
-        length = max(math.hypot(x2 - x1, y2 - y1), 1.0)
-        steps = int(length / (min(rw, rh) / 2)) + 1
-        half = (self.line_width - 1) / 2.0
-        val = 0.0 if self.erasing else 1.0
-        for i in range(steps + 1):
-            cx = x1 + (x2 - x1) * i / steps
-            cy = y1 + (y2 - y1) * i / steps
-            pi, pj = self._to_pixel(cx, cy)
-            r = int(math.ceil(half))
-            for di in range(-r, r + 1):
-                for dj in range(-r, r + 1):
-                    if di * di + dj * dj <= half * half + 0.5:
-                        ii, jj = pi + di, pj + dj
-                        if 0 <= ii < self.h and 0 <= jj < self.w:
-                            self.image[ii, jj] = val
+        paint_stroke(self.image, x1, y1, x2, y2, rw, rh,
+                     self.line_width, 0.0 if self.erasing else 1.0)
         self.redraw()
 
     # -- rendering ------------------------------------------------------------
     def redraw(self):
-        cw, ch, rw, rh = self._scale()
-        z = (np.kron(self.image, np.ones((max(int(math.ceil(rh)), 1),
-                                          max(int(math.ceil(rw)), 1))))
-             [:ch, :cw] * 255).astype(np.uint8)
+        cw, ch, _, _ = self._scale()
+        z = upscale_for_display(self.image, cw, ch)
         header = f"P5 {z.shape[1]} {z.shape[0]} 255 ".encode()
         self.photo.configure(width=z.shape[1], height=z.shape[0],
                              data=header + z.tobytes(), format="PPM")
@@ -105,9 +136,8 @@ class PixelCanvas:
         for i, bid in enumerate(self.bbox_ids):
             if self.bbox_visibility and i < len(self.bbox_positions):
                 s, sx, sy = self.bbox_positions[i]
-                hx, hy = s * cw / 2.0, s * ch / 2.0
-                cx, cy = (1 + sx) * cw / 2.0, (1 + sy) * ch / 2.0
-                self.canvas.coords(bid, cx - hx, cy - hy, cx + hx, cy + hy)
+                self.canvas.coords(bid, *bbox_canvas_coords(s, sx, sy,
+                                                            cw, ch))
                 self.canvas.itemconfig(bid, state="normal")
             else:
                 self.canvas.itemconfig(bid, state="hidden")

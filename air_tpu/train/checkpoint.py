@@ -54,7 +54,12 @@ def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
                   jax.tree_util.tree_leaves(jax.device_get(state.opt_state))]
     arrays = dict(params_flat)
     for i, leaf in enumerate(opt_leaves):
-        arrays[f"opt/{i}"] = leaf
+        if leaf.dtype == jnp.bfloat16:
+            # npz round-trips bf16 as raw void bytes (dtype lost); store a
+            # uint16 view under a marked key instead (adam_storage_dtype)
+            arrays[f"opt/{i}:bf16"] = leaf.view(np.uint16)
+        else:
+            arrays[f"opt/{i}"] = leaf
     arrays["step"] = np.asarray(int(state.step), np.int32)
     arrays["key"] = np.asarray(jax.device_get(
         jax.random.key_data(state.key)
@@ -153,7 +158,11 @@ def load_checkpoint(path: str, config, loader=None) -> TrainState:
         # params-only checkpoint: fresh optimizer state
         opt_state = template.opt_state
     else:
-        opt_leaves = [jnp.asarray(arrays[f"opt/{i}"]) for i in range(n)]
+        opt_leaves = [
+            jnp.asarray(arrays[f"opt/{i}"]) if f"opt/{i}" in arrays
+            else jnp.asarray(arrays[f"opt/{i}:bf16"]
+                             .view(np.dtype(jnp.bfloat16)))
+            for i in range(n)]
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template.opt_state), opt_leaves)
     if "key" in arrays:

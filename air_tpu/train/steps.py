@@ -61,6 +61,13 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
     fully fused inside the jitted step, with zero extra host traffic."""
     if optimizer is None:
         optimizer = make_optimizer(config)
+    if bg_image is not None and bg_schedule is None:
+        # without a schedule the composite would silently run at the
+        # bg_intensity default target (1.0) from step 0 — an easy foot-gun;
+        # ask for an explicit {"target": s, "start": 0, "ramp": 0} instead
+        raise ValueError("bg_image requires an explicit bg_schedule "
+                         "({'target': s, 'start': 0, 'ramp': 0} for a "
+                         "constant composite)")
     bg_flat = (None if bg_image is None
                else jnp.asarray(bg_image, jnp.float32).reshape(-1))
 

@@ -102,6 +102,15 @@ class TrainerConfig:
     # variant of the dataset; test data the composited one.
     bg_image: object = None
     bg_schedule: dict | None = None
+    # learn_background parameter init: None -> blank sigmoid(-4) canvas;
+    # "data" -> estimate the texture from the train set (mean of 0-digit
+    # scenes, else per-pixel min — air_tpu.data.backgrounds.
+    # estimate_background) or, under the curriculum, from
+    # target * bg_image; or an explicit pixel-space [canvas**2] array.
+    # With an exact init the bootstrap never has to DISCOVER the texture:
+    # 0-digit scenes reconstruct perfectly at step 0 and attention only
+    # ever sees unexplained digit ink (the round-3 harder-scenes remedy).
+    background_init: object = None
 
 
 # Built-in rotation for restart_schedule_rotation: remedies from the
@@ -246,6 +255,29 @@ class Trainer:
                 reader_threads=trainer_config.reader_threads)
         self.test_images, self.test_digits = test_data
 
+        # resolve the learn_background init (TrainerConfig.background_init)
+        self._bg_init = None
+        bg_cfg = trainer_config.background_init
+        if self.config.learn_background and bg_cfg is not None:
+            if isinstance(bg_cfg, str) and bg_cfg == "data":
+                from air_tpu.data.backgrounds import estimate_background
+                if trainer_config.bg_image is not None:
+                    # curriculum runs train on CLEAN data with the texture
+                    # composited on device — the steady-state background is
+                    # target * bg_image, known exactly
+                    target = float((trainer_config.bg_schedule or {})
+                                   .get("target", 1.0))
+                    self._bg_init = np.clip(
+                        target * np.asarray(trainer_config.bg_image,
+                                            np.float32).reshape(-1), 0., 1.)
+                elif trainer_config.device_data:
+                    self._bg_init = estimate_background(*train_data)
+                else:
+                    self._bg_init = estimate_background(
+                        self.loader.images, self.loader.digits)
+            else:
+                self._bg_init = np.asarray(bg_cfg, np.float32).reshape(-1)
+
         bg_kw = {"bg_image": trainer_config.bg_image,
                  "bg_schedule": trainer_config.bg_schedule}
         if self.mesh is not None:
@@ -267,7 +299,8 @@ class Trainer:
         self.metrics = MetricsWriter(self.summary_dir,
                                      tensorboard=trainer_config.tensorboard)
 
-        self.state = create_train_state(self.config, rng=trainer_config.seed)
+        self.state = create_train_state(self.config, rng=trainer_config.seed,
+                                        background_init=self._bg_init)
         if trainer_config.resume:
             ckpt = latest_checkpoint(self.models_dir)
             if ckpt:
@@ -339,7 +372,8 @@ class Trainer:
             "attempt_ended": restarts + 1, "stalled_accuracy": acc,
             "next_variant": (restarts % len(rotation)) if rotation else -1,
         }, prefix="recovery/")
-        self.state = create_train_state(self.train_config, rng=new_seed)
+        self.state = create_train_state(self.train_config, rng=new_seed,
+                                        background_init=self._bg_init)
         if self.mesh is not None:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
@@ -462,6 +496,7 @@ class Trainer:
         t_start = time.time()
         images_seen = 0
         restarts = 0
+        metrics = None                       # set by the first dispatch
         step = int(self.state.step)          # tracked host-side from here on
         total_epochs = tcfg.epochs if tcfg.epochs is not None else 10 ** 9
         max_iters = tcfg.max_iterations
@@ -523,9 +558,10 @@ class Trainer:
             images_seen += k * tcfg.batch_size
 
 
-            if step % tcfg.log_every == 0 or \
+            if metrics is not None and (
+                    step % tcfg.log_every == 0 or
                     (tcfg.log_every and step // tcfg.log_every
-                     != (step - k) // tcfg.log_every):
+                     != (step - k) // tcfg.log_every)):
                 loss = float(jnp.mean(metrics["loss"]))
                 acc = float(jnp.mean(metrics["accuracy"]))
                 print(f"iteration {step}\tloss {loss:.3f}\t"

@@ -29,11 +29,15 @@ BASELINE_FILE = os.path.join(HERE, "baseline_cpu.json")
 
 
 ST_IMPL = "xla"
+# extra AIRConfig overrides applied by get_config (set from CLI flags:
+# --adam-dtype, --unroll)
+CFG_OVERRIDES = {}
 
 
 def get_config(name: str):
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
-    DEFAULT_TRAINING_CONFIG = DEFAULT_TRAINING_CONFIG.replace(st_impl=ST_IMPL)
+    DEFAULT_TRAINING_CONFIG = DEFAULT_TRAINING_CONFIG.replace(
+        st_impl=ST_IMPL, **CFG_OVERRIDES)
     if name == "default":
         return DEFAULT_TRAINING_CONFIG
     if name == "scaled":
@@ -56,18 +60,22 @@ def analytic_flops_per_image(cfg, train: bool) -> float:
     per image, not once per step. Verified against XLA cost analysis and
     slope-timed hardware runs (RESULTS.md round-2 measurement note).
 
-    Training factors: hoisted/encoder terms run fwd + dW (dX is not
-    needed for input data) = 2x fwd; per-step terms run fwd + dX + dW
-    = 3x fwd. Elementwise ops ignored (noise next to the matmuls)."""
+    Training factors: hoisted terms whose input is DATA (the LSTM gate
+    input half; the first CNN conv) run fwd + dW only (dX is not needed
+    for input data) = 2x fwd; interior CNN convs (layers 2-3) must also
+    backprop dX to the previous layer = 3x fwd; per-step terms run
+    fwd + dX + dW = 3x fwd. Elementwise ops ignored (noise next to the
+    matmuls)."""
     H = cfg.rnn_units
     cs, ws = cfg.canvas_size, cfg.windows_size
     # -- loop-invariant (once per image) --
     inv_macs = cfg.rnn_input_dim * 4 * H          # input part of the gates
+    inv3_macs = 0.0           # hoisted terms that DO need dX in training
     if cfg.cnn:
         f = cfg.cnn_filters
-        inv_macs += 25 * (cs * cs * 1 * f
-                          + (cs // 2) ** 2 * f * f
-                          + (cs // 4) ** 2 * f * f)
+        inv_macs += 25 * cs * cs * 1 * f                  # conv1 (on data)
+        inv3_macs += 25 * ((cs // 2) ** 2 * f * f         # conv2
+                           + (cs // 4) ** 2 * f * f)      # conv3
     # -- per scan step --
     macs = H * 4 * H                              # recurrent part of gates
     for hidden, out in ((cfg.scale_hidden_units, 1),
@@ -88,6 +96,7 @@ def analytic_flops_per_image(cfg, train: bool) -> float:
     inv_factor = 2.0 if train else 1.0
     step_factor = 3.0 if train else 1.0
     return 2.0 * (inv_macs * inv_factor
+                  + inv3_macs * step_factor
                   + macs * cfg.max_steps * step_factor)
 
 
@@ -411,8 +420,8 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--repeats", type=int, default=3,
-                        help="timing windows; best-of-N is reported "
-                             "(suppresses tunnel-latency noise)")
+                        help="timing windows; the median of N slopes is "
+                             "reported (suppresses tunnel-latency noise)")
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--config", default="default",
                         choices=["default", "scaled", "harder"])
@@ -440,9 +449,21 @@ def main():
                              "vs 1-CPU throughput at the same per-device "
                              "batch")
     parser.add_argument("--n-devices", type=int, default=8)
+    parser.add_argument("--adam-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Adam moment STORAGE dtype (bfloat16 halves "
+                             "optimizer-state HBM traffic; update math "
+                             "stays fp32 — state.scale_by_adam_stored)")
+    parser.add_argument("--unroll", type=int, default=1,
+                        help="unroll factor for the max_steps attention "
+                             "scan (AIRConfig.scan_unroll)")
     args = parser.parse_args()
     global ST_IMPL
     ST_IMPL = args.st_impl
+    if args.adam_dtype != "float32":
+        CFG_OVERRIDES["adam_storage_dtype"] = args.adam_dtype
+    if args.unroll != 1:
+        CFG_OVERRIDES["scan_unroll"] = args.unroll
 
     # refresh/create the CPU baseline FIRST — every mode's vs_baseline
     # divides by it (and --measure-cpu must work regardless of mode)
@@ -479,6 +500,8 @@ def main():
                     f"{r['multi_step']} steps/dispatch)",
             "vs_baseline": round(r["images_per_sec"] / baseline, 2),
             "mfu": round(r["mfu"], 4),
+            "baseline_note": "JAX-CPU stand-in step; lower-bounds the "
+                             "speedup vs the TF1 reference (BASELINE.md)",
         }))
         return
 
@@ -560,6 +583,8 @@ def main():
     if result["mfu"] is not None:
         out["mfu"] = round(result["mfu"], 4)
         out["achieved_tflops"] = round(result["achieved_tflops"], 2)
+    out["baseline_note"] = ("JAX-CPU stand-in step; lower-bounds the "
+                            "speedup vs the TF1 reference (BASELINE.md)")
     print(json.dumps(out))
 
 

@@ -58,7 +58,12 @@ def device_time(step_fn, init_carry, iters=4000, repeats=5):
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
     slopes.sort()
-    return max(slopes[len(slopes) // 2], 0.0) * 1e3
+    med = slopes[len(slopes) // 2]
+    if med <= 0.0:
+        # noise-dominated measurement — flag it rather than reporting an
+        # impossibly perfect 0.0 per-op time (ADVICE r2)
+        return float("nan")
+    return med * 1e3
 
 
 def main():

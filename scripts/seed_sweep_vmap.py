@@ -118,7 +118,12 @@ def main():
             line = " ".join(f"s{sd}:{a:.3f}" for sd, a in zip(args.seeds, acc))
             print(f"[eval @ {step}] {line}", flush=True)
             for r in range(S):
-                final_acc[r] = float(acc[r])
+                # freeze final_acc once the replica has converged: it keeps
+                # training with the pack, and a later regression would
+                # otherwise overwrite the accuracy that conv_step describes
+                # (ADVICE r2)
+                if conv_step[r] is None:
+                    final_acc[r] = float(acc[r])
                 history[r].append((int(rsteps[r]), float(acc[r])))
                 if conv_step[r] is None and acc[r] >= args.stop_acc:
                     conv_step[r] = int(rsteps[r])

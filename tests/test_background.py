@@ -164,6 +164,66 @@ def test_learn_background_trains_toward_static_bg():
     assert err1 < err0
 
 
+def test_estimate_background_zero_digit_exact():
+    """0-digit scenes ARE clip(s*bg) — the estimator recovers them exactly;
+    without digit labels the per-pixel min over sparse scenes also works."""
+    from air_tpu.data.backgrounds import estimate_background
+    rng = np.random.default_rng(0)
+    bg = rng.uniform(0, 0.6, (400,)).astype(np.float32)
+    # scenes: some with "ink" blobs added, some with none (0-digit)
+    n = 40
+    images = np.tile(bg, (n, 1))
+    digits = np.zeros((n,), np.int32)
+    for i in range(1, n):
+        sel = rng.choice(400, 40, replace=False)
+        images[i, sel] = np.clip(images[i, sel] + 1.0, 0, 1)
+        digits[i] = 1
+    est = estimate_background(images, digits)
+    np.testing.assert_allclose(est, bg, atol=1e-6)
+    est_min = estimate_background(images)   # no labels -> per-pixel min
+    np.testing.assert_allclose(est_min, bg, atol=1e-6)
+
+
+def test_background_init_data_driven():
+    """init_air_params(background_init=...) stores logits whose sigmoid
+    reproduces the pixel-space estimate; create_train_state threads it."""
+    est = np.clip(np.random.default_rng(1).uniform(
+        0, 0.8, (SMALL.canvas_size ** 2,)), 0, 1).astype(np.float32)
+    p = init_air_params(jax.random.PRNGKey(0), SMALL_BG, background_init=est)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(p["background"])),
+        np.clip(est, 1e-3, 1 - 1e-3), atol=1e-5)
+    state = create_train_state(SMALL_BG, rng=0, background_init=est)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(state.params["background"])),
+        np.clip(est, 1e-3, 1 - 1e-3), atol=1e-5)
+    with pytest.raises(ValueError):
+        init_air_params(jax.random.PRNGKey(0), SMALL_BG,
+                        background_init=est[:10])
+
+
+def test_background_init_perfect_recon_of_zero_digit_scene():
+    """With an exact background init, a 0-digit composited scene
+    reconstructs (nearly) perfectly at step 0 even if all z_pres fire —
+    the whole point of the data-driven init."""
+    bg_true = np.clip(np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(9), (SMALL.canvas_size ** 2,))),
+        0.05, 0.95).astype(np.float32)
+    params = init_air_params(jax.random.PRNGKey(0), SMALL_BG,
+                             background_init=bg_true)
+    images = jnp.tile(jnp.asarray(bg_true)[None, :], (4, 1))
+    targets = jnp.zeros((4,), jnp.int32)
+    out = air_forward(params, SMALL_BG, images, targets, jax.random.PRNGKey(2))
+    # recon = clip(bg + sum z*windows) >= bg; error vs a blank-canvas init
+    # must collapse by >10x on the background pixels the windows miss
+    blank = init_air_params(jax.random.PRNGKey(0), SMALL_BG)
+    out_blank = air_forward(blank, SMALL_BG, images, targets,
+                            jax.random.PRNGKey(2))
+    err = float(jnp.mean(jnp.abs(out.reconstruction - images)))
+    err_blank = float(jnp.mean(jnp.abs(out_blank.reconstruction - images)))
+    assert err < err_blank / 3
+
+
 def test_checkpoint_roundtrip_with_background(tmp_path):
     from air_tpu.train.checkpoint import save_checkpoint, load_checkpoint
     state = create_train_state(SMALL_BG, rng=0)

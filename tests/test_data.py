@@ -52,6 +52,35 @@ def test_load_mnist_npz(tmp_path):
     np.testing.assert_array_equal(labels, y)
 
 
+def _write_idx(path, array):
+    """Write a classic big-endian IDX ubyte file (magic 0x08 | ndim)."""
+    import gzip
+    import struct
+    arr = np.ascontiguousarray(array, np.uint8)
+    header = struct.pack(">I", 0x0800 | arr.ndim)
+    header += struct.pack(">" + "I" * arr.ndim, *arr.shape)
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(header + arr.tobytes())
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_load_mnist_idx(tmp_path, gz):
+    """The idx branch (data/mnist.py:_read_idx), raw and gzipped — the
+    format real MNIST ships in (VERDICT r2 hardening item)."""
+    x = (np.random.default_rng(1).uniform(0, 255, (5, 28, 28))
+         .astype(np.uint8))
+    y = (np.arange(5) % 10).astype(np.uint8)
+    sfx = ".gz" if gz else ""
+    _write_idx(tmp_path / f"train-images-idx3-ubyte{sfx}", x)
+    _write_idx(tmp_path / f"train-labels-idx1-ubyte{sfx}", y)
+    images, labels = load_mnist(str(tmp_path))
+    assert images.shape == (5, 784) and images.dtype == np.float32
+    np.testing.assert_allclose(images, x.reshape(5, -1) / 255.0, atol=1e-6)
+    np.testing.assert_array_equal(labels, y)
+    assert labels.dtype == np.int32
+
+
 # --- placement helpers --------------------------------------------------------
 
 def test_crop_non_empty():

@@ -27,6 +27,31 @@ def make_thetas(rng, b, axis_aligned=True):
     return theta, s, tx, ty
 
 
+def test_hat_weight_matrix_equals_one_hot_construction(rng):
+    """The closed "hat" form relu(1 - |p - j|) must reproduce the explicit
+    one_hot(lo)*w_lo + one_hot(hi)*w_hi construction exactly (values), for
+    in-range, boundary, and fully off-support coordinates."""
+    from air_tpu.ops.transformer import _axis_weight_matrix, _pixel_coords
+    out_dim, in_dim = 28, 50
+    scale = jnp.asarray(np.concatenate([
+        rng.uniform(0.05, 1.5, 13), [1.0, 0.3]]))       # incl. exact 1.0
+    shift = jnp.asarray(np.concatenate([
+        rng.uniform(-1.0, 1.0, 13), [0.0, 3.0]]))       # incl. off-support
+    got = _axis_weight_matrix(scale, shift, out_dim, in_dim, "zeros")
+
+    # oracle: the explicit unclamped-corner construction
+    t = jnp.linspace(-1.0, 1.0, out_dim)
+    p = _pixel_coords(scale[:, None] * t[None, :] + shift[:, None], in_dim)
+    lo = jnp.floor(p).astype(jnp.int32)
+    w_lo = (lo + 1).astype(p.dtype) - p
+    w_hi = p - lo.astype(p.dtype)
+    want = (jax.nn.one_hot(lo, in_dim, dtype=p.dtype) * w_lo[..., None]
+            + jax.nn.one_hot(lo + 1, in_dim, dtype=p.dtype)
+            * w_hi[..., None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+
+
 def test_general_transformer_matches_oracle(rng):
     b, h, w = 4, 50, 50
     images = rng.uniform(size=(b, h, w, 1)).astype(np.float32)

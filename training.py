@@ -89,6 +89,15 @@ def main():
                         help="model a learned static background canvas "
                              "(harder scenes; models/config.py: "
                              "learn_background)")
+    parser.add_argument("--bg-init", choices=["data", "none"],
+                        default="data",
+                        help="learned-background init (with "
+                             "--learn-background): 'data' estimates the "
+                             "texture from the train set (mean of 0-digit "
+                             "scenes — exactly the composited background) "
+                             "so the bootstrap never has to discover it; "
+                             "'none' starts from a blank sigmoid(-4) "
+                             "canvas (the round-2 behavior)")
     parser.add_argument("--bg-composite-kind", default="",
                         help="background-intensity curriculum: composite "
                              "this procedural texture (noise/gradient/"
@@ -192,6 +201,7 @@ def main():
             DEFAULT_RESTART_ROTATION if args.restart_rotation else ()),
         bg_image=bg_image,
         bg_schedule=bg_schedule,
+        background_init="data" if args.bg_init == "data" else None,
     )
 
     test_data = load_test_data(args.test_data, shift_zero_digits_images=True)
