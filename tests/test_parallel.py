@@ -154,6 +154,40 @@ def test_tp_matches_single_device(batch):
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
 
 
+def test_tp_scaled_config_shapes():
+    """Tensor parallelism at the SCALED-config shapes it was built for
+    (BASELINE.json config 4: 100x100 canvas, 512-LSTM, 100-dim latent —
+    parallel/mesh.py:5-10): data=4 x model=2 training step compiles,
+    executes, and genuinely column-shards the big kernels (VERDICT r2 #4).
+    Batch is kept small — the SHAPES of the weights are what TP sees."""
+    from air_tpu.parallel.mesh import shard_state
+    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    scaled = DEFAULT_TRAINING_CONFIG.replace(
+        canvas_size=100, rnn_units=512, vae_latent_dimensions=100,
+        cnn=False, train=True)
+    mesh = make_mesh(8, model_axis=2)
+    state = shard_state(mesh, create_train_state(scaled, rng=0))
+    # the 2048-col LSTM gate kernel and both VAE hidden kernels shard
+    gate = state.params["lstm"]["kernel"]
+    assert gate.shape == (100 * 100 + 512, 4 * 512)
+    assert "model" in str(gate.sharding.spec)
+    assert gate.addressable_shards[0].data.shape[1] == gate.shape[1] // 2
+    n_sharded = sum(1 for l in jax.tree_util.tree_leaves(state.params)
+                    if "model" in str(getattr(l, "sharding",
+                                              None) and l.sharding.spec))
+    assert n_sharded >= 6
+    rng = np.random.default_rng(1)
+    images = rng.uniform(size=(16, 100 * 100)).astype(np.float32)
+    digits = rng.integers(0, 3, 16).astype(np.int32)
+    pstep = make_parallel_train_step(scaled, mesh, donate=False)
+    si, sd = shard_batch(mesh, images, digits)
+    new_state, metrics = pstep(state, si, sd)
+    assert np.isfinite(float(metrics["loss"]))
+    # params keep their TP layout through the update
+    g2 = new_state.params["lstm"]["kernel"]
+    assert "model" in str(g2.sharding.spec)
+
+
 def test_multichip_dryrun_clean_subprocess():
     """Run dryrun_multichip(8) exactly as the driver does: a fresh process
     with NO conftest env (one visible device), so the self-provisioning

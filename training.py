@@ -64,6 +64,13 @@ def main():
                              "CONSTRUCTOR default, air/air_model.py:17. "
                              "--no-cnn selects the reference training "
                              "driver's raw-pixel encoder)")
+    parser.add_argument("--adam-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Adam moment storage dtype (bfloat16 halves "
+                             "optimizer-state HBM traffic; fp32 math)")
+    parser.add_argument("--unroll", type=int, default=1,
+                        help="attention-scan unroll factor "
+                             "(AIRConfig.scan_unroll)")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
     parser.add_argument("--stall-restart-step", type=int, default=60000,
@@ -158,6 +165,8 @@ def main():
         stopping_threshold=args.stopping_threshold,
         cnn=args.cnn,
         learn_background=args.learn_background,
+        adam_storage_dtype=args.adam_dtype,
+        scan_unroll=args.unroll,
     )
     bg_image, bg_schedule = None, None
     if args.bg_composite_kind:
