@@ -134,13 +134,19 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     cs = config.canvas_size
     threshold = hp["stopping_threshold"]
 
-    use_pallas = config.st_impl == "pallas"
+    use_pallas = config.st_impl in ("pallas", "inline")
     if use_pallas:
         if config.st_pad_mode != "zeros":
-            raise ValueError("st_impl='pallas' only implements "
+            raise ValueError(f"st_impl={config.st_impl!r} only implements "
                              "st_pad_mode='zeros'")
-        from air_tpu.kernels.st_pallas import pallas_attention_read
-        st_read, st_write = pallas_attention_read, None
+        if config.st_impl == "inline":
+            # in-kernel weight construction from (s, x, y) scalars —
+            # no [B, out, in] weight streams (kernels/st_inline.py)
+            from air_tpu.kernels.st_inline import inline_attention_read
+            st_read, st_write = inline_attention_read, None
+        else:
+            from air_tpu.kernels.st_pallas import pallas_attention_read
+            st_read, st_write = pallas_attention_read, None
     else:
         st_read = functools.partial(attention_read,
                                     pad_mode=config.st_pad_mode)
@@ -219,8 +225,13 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     if use_pallas:
         # fused attention-write + masked accumulate: coeff = alive * z_pres
         # is exactly where(alive, z_pres * wr, 0)
-        from air_tpu.kernels.st_fused import fused_write_accumulate
-        running_recon = fused_write_accumulate(
+        if config.st_impl == "inline":
+            from air_tpu.kernels.st_inline import inline_write_accumulate
+            fused = inline_write_accumulate
+        else:
+            from air_tpu.kernels.st_fused import fused_write_accumulate
+            fused = fused_write_accumulate
+        running_recon = fused(
             running_recon, vae_recon.reshape(batch, ws, ws), s, x, y,
             alive.astype(z_pres.dtype) * z_pres, cs)
     else:

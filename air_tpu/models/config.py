@@ -81,8 +81,10 @@ class AIRConfig:
     # --- annealing (reference air/air_model.py:22,94-121) ---
     annealing_schedules: Any = None
     # --- TPU execution knobs (no reference counterpart) ---
-    # spatial-transformer implementation: "xla" (separable matmuls) or
-    # "pallas" (fused kernel, air_tpu/kernels/st_pallas.py)
+    # spatial-transformer implementation: "xla" (separable matmuls),
+    # "pallas" (fused kernel streaming XLA-built weights,
+    # air_tpu/kernels/st_pallas.py), or "inline" (in-kernel hat-form weight
+    # construction from scalars, air_tpu/kernels/st_inline.py)
     st_impl: str = "xla"
     # off-support ST boundary semantics: "zeros" (true zero padding with
     # off-support coordinate gradients — required for the localization

@@ -427,7 +427,7 @@ def main():
                         choices=["default", "scaled", "harder"])
     parser.add_argument("--measure-cpu", action="store_true")
     parser.add_argument("--st-impl", default="xla",
-                        choices=["xla", "pallas"],
+                        choices=["xla", "pallas", "inline"],
                         help="spatial-transformer implementation for the "
                              "measured step")
     parser.add_argument("--fused", action=argparse.BooleanOptionalAction,

@@ -76,6 +76,8 @@ def main():
     import jax.numpy as jnp
     from air_tpu.ops.transformer import attention_write, attention_read
     from air_tpu.kernels.st_fused import fused_write_accumulate
+    from air_tpu.kernels.st_inline import (
+        inline_attention_read, inline_write_accumulate)
     from air_tpu.kernels.st_pallas import pallas_attention_read
 
     cases = [
@@ -100,9 +102,14 @@ def main():
             return fused_write_accumulate(canvas, windows, s, x, y, coeff,
                                           cs, interpret=False)
 
+        def inline_wacc(canvas, windows, s, x, y, coeff):
+            return inline_write_accumulate(canvas, windows, s, x, y, coeff,
+                                           cs, interpret=False)
+
         results = {"case": name, "batch": b, "canvas": cs, "window": ws,
                    "platform": jax.devices()[0].platform}
-        for label, fn in (("xla", xla_wacc), ("pallas", pallas_wacc)):
+        for label, fn in (("xla", xla_wacc), ("pallas", pallas_wacc),
+                          ("inline", inline_wacc)):
             f = jax.jit(fn)
             results[f"write_acc_fwd_{label}_ms"] = round(
                 timeit(f, canvas, windows, s, x, y, coeff,
@@ -121,7 +128,12 @@ def main():
         def pallas_read(images, s, x, y):
             return pallas_attention_read(images, s, x, y, ws,
                                          interpret=False)
-        for label, fn in (("xla", xla_read), ("pallas", pallas_read)):
+
+        def inline_read(images, s, x, y):
+            return inline_attention_read(images, s, x, y, ws,
+                                         interpret=False)
+        for label, fn in (("xla", xla_read), ("pallas", pallas_read),
+                          ("inline", inline_read)):
             f = jax.jit(fn)
             results[f"read_fwd_{label}_ms"] = round(
                 timeit(f, images, s, x, y, steps=args.steps), 4)
@@ -133,6 +145,8 @@ def main():
             lambda c: xla_wacc(c, windows, s, x, y, coeff), canvas), 5)
         results["device_write_acc_fwd_pallas_ms"] = round(device_time(
             lambda c: pallas_wacc(c, windows, s, x, y, coeff), canvas), 5)
+        results["device_write_acc_fwd_inline_ms"] = round(device_time(
+            lambda c: inline_wacc(c, windows, s, x, y, coeff), canvas), 5)
         results["device_read_fwd_xla_ms"] = round(device_time(
             lambda c: c + jnp.pad(
                 xla_read(images + c.ravel()[0] * 1e-20, s, x, y)
@@ -141,6 +155,11 @@ def main():
         results["device_read_fwd_pallas_ms"] = round(device_time(
             lambda c: c + jnp.pad(
                 pallas_read(images + c.ravel()[0] * 1e-20, s, x, y)
+                .reshape(b, ws, ws), ((0, 0), (0, cs - ws), (0, cs - ws))
+            ).reshape(b, cs * cs) * 1e-20, canvas), 5)
+        results["device_read_fwd_inline_ms"] = round(device_time(
+            lambda c: c + jnp.pad(
+                inline_read(images + c.ravel()[0] * 1e-20, s, x, y)
                 .reshape(b, ws, ws), ((0, 0), (0, cs - ws), (0, cs - ws))
             ).reshape(b, cs * cs) * 1e-20, canvas), 5)
 

@@ -50,6 +50,12 @@ def main():
                         "shared --max-iters clock would otherwise cut "
                         "late restart attempts short); hard cap 2x "
                         "--max-iters")
+    p.add_argument("--scale-curriculum", action="store_true",
+                   help="overlay the scale-prior curriculum on the BASE "
+                        "attempt (prior mean walks 0 -> -1 over ~5k iters "
+                        "after each anneal start) — the round-2 stall "
+                        "matrix's remedy for the scale-degenerate counting "
+                        "basin, promoted per VERDICT r2 #2")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -68,10 +74,18 @@ def main():
     sched = DEFAULT_TRAINING_CONFIG.schedules
     if args.hold:
         sched["z_pres_prior_log_odds"]["hold"] = args.hold
+    if args.scale_curriculum:
+        # same overlay as trainer.DEFAULT_RESTART_ROTATION[1], but on the
+        # base attempt; delayed by the hold so the coarse->fine walk spans
+        # the period when z_pres decisions are actually being annealed
+        sched["scale_prior_mean"] = {"init": 1.0, "min": 0.0, "factor": 0.5,
+                                     "iters": 5000, "offset": -1.0,
+                                     "hold": args.hold}
     cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched,
                                           cnn=args.cnn)
-    tag = args.tag or ("vmap_hold%d%s" % (args.hold,
-                                          "_cnn" if args.cnn else ""))
+    tag = args.tag or ("vmap_hold%d%s%s" % (
+        args.hold, "_cnn" if args.cnn else "",
+        "_scalecur" if args.scale_curriculum else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)

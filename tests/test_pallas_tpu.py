@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import jax
 
 from air_tpu.kernels.st_fused import fused_write_accumulate
+from air_tpu.kernels.st_inline import (
+    inline_attention_read, inline_write_accumulate)
 from air_tpu.kernels.st_pallas import pallas_attention_read
 from air_tpu.ops.transformer import attention_read, attention_write
 
@@ -59,18 +61,31 @@ want = jax.jit(xla_comp)(canvas, windows, s, x, y, coeff)
 np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                            rtol=2e-5, atol=2e-5)
 
-# the all-Pallas VJP lowers and matches XLA cotangents on device
+# the all-Pallas VJP lowers and matches XLA cotangents on device.
+# Tolerance is SELF-CALIBRATED to the platform's default matmul
+# precision: at DEFAULT the MXU rounds f32 operands to bf16, and XLA's
+# own default-vs-highest spread on these cotangents (~0.013 abs here) is
+# as large as any Pallas-vs-XLA difference — measured 2026-08-17 on v5e.
+# Exact-math correctness is pinned at 1e-4 by the interpret-mode CPU
+# tests (test_pallas.py / test_pallas_inline.py); this test checks that
+# the kernels LOWER through Mosaic and sit inside the precision noise.
 probe = jnp.asarray(rng.normal(size=(b, cs * cs)).astype(np.float32))
-gp = jax.jit(jax.grad(
-    lambda *a: jnp.sum(probe * fused_write_accumulate(
-        *a, cs, interpret=False)), argnums=(0, 1, 2, 3, 4, 5)))(
-    canvas, windows, s, x, y, coeff)
-gx = jax.jit(jax.grad(
-    lambda *a: jnp.sum(probe * xla_comp(*a)),
-    argnums=(0, 1, 2, 3, 4, 5)))(canvas, windows, s, x, y, coeff)
-for a_, b_ in zip(gp, gx):
+
+def grad_all(f):
+    return jax.jit(jax.grad(
+        lambda *a: jnp.sum(probe * f(*a)), argnums=(0, 1, 2, 3, 4, 5)))(
+        canvas, windows, s, x, y, coeff)
+
+gx = grad_all(xla_comp)
+with jax.default_matmul_precision("float32"):
+    ghi = grad_all(xla_comp)
+noise = max(float(jnp.max(jnp.abs(a_ - b_))) for a_, b_ in zip(gx, ghi))
+tol = max(1e-3, 3.0 * noise)
+
+gp = grad_all(lambda *a: fused_write_accumulate(*a, cs, interpret=False))
+for a_, b_ in zip(gp, ghi):
     np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=0, atol=tol)
 
 # read kernel lowers + matches
 got = jax.jit(lambda *a: pallas_attention_read(*a, ws, interpret=False))(
@@ -78,6 +93,41 @@ got = jax.jit(lambda *a: pallas_attention_read(*a, ws, interpret=False))(
 want = jax.jit(lambda *a: attention_read(*a, ws))(images, s, x, y)
 np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                            rtol=2e-5, atol=2e-5)
+
+# in-kernel weight construction (st_inline): fwd + full VJP + read.
+# Tolerance note: st_inline builds the hat weights INSIDE the kernel, so
+# its weight values differ from the XLA-built ones by ~1 f32 ulp (linspace
+# vs iota/(n-1) arithmetic); at the TPU's DEFAULT matmul precision the
+# MXU rounds operands to bf16, which amplifies those ulps to one bf16 ulp
+# (~2e-3 relative) on a handful of kink-adjacent elements. Interpret-mode
+# CPU tests (tests/test_pallas_inline.py) verify the same math at 1e-4.
+got = jax.jit(lambda *a: inline_write_accumulate(*a, cs, interpret=False))(
+    canvas, windows, s, x, y, coeff)
+np.testing.assert_allclose(np.asarray(got), np.asarray(jax.jit(
+    xla_comp)(canvas, windows, s, x, y, coeff)), rtol=3e-3, atol=3e-3)
+gi = grad_all(lambda *a: inline_write_accumulate(*a, cs, interpret=False))
+for a_, b_ in zip(gi, ghi):
+    np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                               rtol=0, atol=tol)
+got = jax.jit(lambda *a: inline_attention_read(*a, ws, interpret=False))(
+    images, s, x, y)
+np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                           rtol=3e-3, atol=3e-3)
+def grad_read(f):
+    return jax.jit(jax.grad(
+        lambda *a: jnp.sum(f(*a) ** 2), argnums=(0, 1, 2, 3)))(
+        images, s, x, y)
+
+gr = grad_read(lambda *a: inline_attention_read(*a, ws, interpret=False))
+with jax.default_matmul_precision("float32"):
+    gxr_hi = grad_read(lambda *a: attention_read(*a, ws))
+gxr = grad_read(lambda *a: attention_read(*a, ws))
+noise_r = max(float(jnp.max(jnp.abs(a_ - b_)))
+              for a_, b_ in zip(gxr, gxr_hi))
+tol_r = max(1e-3, 3.0 * noise_r)
+for a_, b_ in zip(gr, gxr_hi):
+    np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                               rtol=0, atol=tol_r)
 print("TPU_KERNELS_OK")
 """
 
@@ -103,6 +153,6 @@ def test_pallas_kernels_lower_and_match_on_tpu():
         [sys.executable, "-c", _KERNEL_CHECK.format(repo=REPO)],
         env={k: v for k, v in os.environ.items()
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")},
-        capture_output=True, text=True, timeout=600)
+        capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "TPU_KERNELS_OK" in proc.stdout
