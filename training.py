@@ -128,6 +128,15 @@ def main():
                              "of the robust-default configuration, rescues "
                              "seeds that stall on hard/synthetic data, "
                              "RESULTS.md; 0 = the reference schedule)")
+    parser.add_argument("--scale-curriculum",
+                        action=argparse.BooleanOptionalAction, default=None,
+                        help="anneal the scale prior mean 0 -> -1 "
+                             "(coarse-to-fine windows) over ~5k steps after "
+                             "the anneal hold — the round-2 stall-matrix "
+                             "remedy for the degenerate-counting basin. "
+                             "Default: ON for the raw-pixel encoder "
+                             "(--no-cnn, where ~40%% of attempts stall "
+                             "without it), OFF for the CNN default")
     args = parser.parse_args()
 
     from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
@@ -176,9 +185,20 @@ def main():
             args.bg_composite_seed, max_intensity=1.0).reshape(-1)
         bg_schedule = {"target": args.bg_target, "start": args.bg_start,
                        "ramp": args.bg_ramp}
-    if args.anneal_hold:
+    scale_curriculum = (not args.cnn if args.scale_curriculum is None
+                        else args.scale_curriculum)
+    if args.anneal_hold or scale_curriculum:
         sched = model_config.schedules
-        sched["z_pres_prior_log_odds"]["hold"] = args.anneal_hold
+        if args.anneal_hold:
+            sched["z_pres_prior_log_odds"]["hold"] = args.anneal_hold
+        if scale_curriculum:
+            # prior mean walks 0 -> -1 (25px -> ~15px windows) across ~5
+            # half-life decades once z_pres annealing starts; same overlay
+            # as DEFAULT_RESTART_ROTATION[1] but on the base attempt
+            # (promoted from the round-2 stall remedy matrix, RESULTS.md)
+            sched["scale_prior_mean"] = {
+                "init": 1.0, "min": 0.0, "factor": 0.5, "iters": 5000,
+                "offset": -1.0, "hold": args.anneal_hold}
         model_config = model_config.replace(annealing_schedules=sched)
     trainer_config = TrainerConfig(
         results_folder=args.results_folder,
