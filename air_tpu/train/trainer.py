@@ -58,6 +58,9 @@ class TrainerConfig:
     stall_accuracy: float = 0.95
     stall_window: int = 20000
     stall_min_progress: float = 0.01
+    # a run at/above this accuracy is spared from restart/give-up — it is
+    # in the good basin, just slow (see is_stalled docstring)
+    stall_spare_accuracy: float = 0.85
     max_restarts: int = 3
     # Restart schedule ROTATION: on the n-th auto-restart, overlay
     # restart_schedule_rotation[(n-1) % len] onto the model config's
@@ -150,13 +153,22 @@ DEFAULT_RESTART_ROTATION = (
 
 def is_stalled(history, step: int, acc: float, detect_step,
                stall_accuracy: float, window: int,
-               min_progress: float) -> bool:
+               min_progress: float, spare_accuracy: float = 0.0) -> bool:
     """Slope-based stall predicate (pure; shared by Trainer auto-recovery
     and the seed-parallel sweeper): stalled iff past ``detect_step``,
     below ``stall_accuracy``, AND — when ``window`` > 0 — improved less
     than ``min_progress`` over the last ``window`` steps of ``history``
-    ([(step, acc), ...] for the CURRENT attempt)."""
+    ([(step, acc), ...] for the CURRENT attempt).
+
+    ``spare_accuracy``: a run at/above this accuracy is in the GOOD
+    basin (merely converging slowly), never the degenerate-counting one
+    (0.62-0.68 at the default config, RESULTS.md) — declaring it stalled
+    would throw away a near-converged model (restart) or abandon a
+    climbing run (give-up), both observed in the round-3 harder-scenes
+    campaign (portrait1 cut at 0.945, bg1.0 at 0.947). 0 disables."""
     if not detect_step or step < detect_step or acc >= stall_accuracy:
+        return False
+    if spare_accuracy and acc >= spare_accuracy:
         return False
     if window:
         past = [a for s, a in history if s <= step - window]
@@ -326,7 +338,8 @@ class Trainer:
         self._eval_history.append((step, acc))
         if not is_stalled(self._eval_history, step, acc,
                           tcfg.stall_detect_step, tcfg.stall_accuracy,
-                          tcfg.stall_window, tcfg.stall_min_progress):
+                          tcfg.stall_window, tcfg.stall_min_progress,
+                          tcfg.stall_spare_accuracy):
             return None
         if restarts >= tcfg.max_restarts:
             if tcfg.stop_on_exhausted_restarts:

@@ -43,6 +43,12 @@ def main():
     p.add_argument("--stall-accuracy", type=float, default=0.95)
     p.add_argument("--stall-window", type=int, default=20000)
     p.add_argument("--stall-min-progress", type=float, default=0.01)
+    p.add_argument("--stall-spare", type=float, default=0.85,
+                   help="a replica at/above this accuracy is in the good "
+                        "basin (slow, not degenerate) and is never "
+                        "re-seeded — throwing away a 0.93-and-climbing "
+                        "model for a fresh init is strictly worse "
+                        "(observed r3: seed 3 restarted at 0.9+); 0 = off")
     p.add_argument("--max-restarts", type=int, default=3)
     p.add_argument("--post-restart-iters", type=int, default=80000,
                    help="guarantee a re-seeded replica at least this many "
@@ -158,7 +164,8 @@ def main():
                                       args.stall_restart,
                                       args.stall_accuracy,
                                       args.stall_window,
-                                      args.stall_min_progress):
+                                      args.stall_min_progress,
+                                      args.stall_spare):
                         continue
                     restarts[r] += 1
                     new_seed = attempt_seed(args.seeds[r], restarts[r])

@@ -390,6 +390,19 @@ def test_is_stalled_predicate():
                           20000, 0.01)
     # window=0 degrades to the absolute threshold
     assert is_stalled([(60000, 0.6)], 60000, 0.6, 60000, 0.95, 0, 0.01)
+    # spare_accuracy: a flat-but-high run is in the good basin — never
+    # stalled (r3: portrait1 was abandoned at 0.945, seed 3 re-seeded at
+    # 0.9+; both were merely slow)
+    flat_high = [(0, 0.3), (20000, 0.90), (40000, 0.905), (60000, 0.91)]
+    assert is_stalled(flat_high, 60000, 0.91, 60000, 0.95, 20000, 0.01)
+    assert not is_stalled(flat_high, 60000, 0.91, 60000, 0.95, 20000, 0.01,
+                          spare_accuracy=0.85)
+    # ...but a degenerate-basin run (0.6x) is still caught with spare on
+    assert is_stalled(hist, 60000, 0.63, 60000, 0.95, 20000, 0.01,
+                      spare_accuracy=0.85)
+    # spare=0 disables the exemption
+    assert is_stalled(flat_high, 60000, 0.91, 60000, 0.95, 20000, 0.01,
+                      spare_accuracy=0.0)
     assert attempt_seed(7, 2) == 7 + 2018
 
 

@@ -84,6 +84,11 @@ def main():
     parser.add_argument("--stall-accuracy", type=float, default=0.95)
     parser.add_argument("--stall-window", type=int, default=20000)
     parser.add_argument("--stall-min-progress", type=float, default=0.01)
+    parser.add_argument("--stall-spare-accuracy", type=float, default=0.85,
+                        help="a run at/above this accuracy is never "
+                             "restarted or abandoned by the stall policy "
+                             "(it is in the good basin, merely slow); "
+                             "0 disables")
     parser.add_argument("--max-restarts", type=int, default=3)
     parser.add_argument("--restart-rotation", type=int, choices=[0, 1],
                         default=1,
@@ -225,6 +230,7 @@ def main():
         stall_accuracy=args.stall_accuracy,
         stall_window=args.stall_window,
         stall_min_progress=args.stall_min_progress,
+        stall_spare_accuracy=args.stall_spare_accuracy,
         max_restarts=args.max_restarts,
         restart_schedule_rotation=(
             DEFAULT_RESTART_ROTATION if args.restart_rotation else ()),
