@@ -48,27 +48,125 @@ def multi_seed_perms(n: int, seeds, epoch) -> jnp.ndarray:
     return jnp.stack([device_epoch_perm(n, int(s), epoch) for s in seeds])
 
 
+# --- Per-replica schedule rotation (vmap-compatible restart variants) ---
+#
+# The sequential Trainer rotates bootstrap-schedule VARIANTS across restart
+# attempts (trainer.DEFAULT_RESTART_ROTATION) — its strongest rescue lever.
+# A vmapped sweep compiles ONE step for all replicas, so it cannot swap
+# schedule dicts per replica; but every rotation variant differs only in
+# NUMERIC knobs of three schedules, and `annealed_value` is fully traceable.
+# Encoding those knobs as per-replica [S] inputs gives each replica its own
+# variant inside the shared compiled program:
+#
+#   z_pres_hold  — grace window of the z_pres prior anneal (0 = reference
+#                  schedule, reference training.py:110-121)
+#   spc_init     — 1.0 turns the scale-prior curriculum on (mean walks
+#                  0 -> -1; 0.0 leaves the constant default -1)
+#   spc_hold     — curriculum delay (usually = z_pres_hold)
+#   temp_init    — Concrete temperature anneal start (1.0 = constant
+#                  reference temperature, 5.0 = soft-decisions anneal)
+
+def rotation_knobs(z_pres_hold: float = 0.0, scale_curriculum: bool = False,
+                   spc_hold: float | None = None, temp_init: float = 1.0):
+    """One replica's schedule-knob dict (plain floats; stack for [S])."""
+    return {
+        "z_pres_hold": float(z_pres_hold),
+        "spc_init": 1.0 if scale_curriculum else 0.0,
+        "spc_hold": float(z_pres_hold if spc_hold is None else spc_hold),
+        "temp_init": float(temp_init),
+    }
+
+
+def vmap_rotation_variant(n: int, base_hold: float):
+    """Knobs for the n-th restart (n >= 1) — mirrors
+    trainer.DEFAULT_RESTART_ROTATION variant (n-1) % 5."""
+    variants = (
+        rotation_knobs(0.0),                                  # reference
+        rotation_knobs(base_hold, scale_curriculum=True,
+                       spc_hold=0.0),                         # scale-prior
+        rotation_knobs(base_hold, temp_init=5.0),             # temp anneal
+        rotation_knobs(2 * base_hold, temp_init=5.0),         # long hold
+        rotation_knobs(0.0, temp_init=5.0),                   # ref + temp
+    )
+    return variants[(n - 1) % len(variants)]
+
+
+def schedules_from_knobs(base_schedules: dict, knobs: dict) -> dict:
+    """Annealing-schedules dict with the three rotation-controlled
+    schedules rebuilt from (possibly traced) ``knobs``. Knob semantics
+    verified against the dict-based overlays in
+    tests/test_multi_seed.py::test_knob_schedules_match_dict_variants."""
+    sched = dict(base_schedules)
+    zp = dict(sched["z_pres_prior_log_odds"])
+    zp["hold"] = knobs["z_pres_hold"]
+    sched["z_pres_prior_log_odds"] = zp
+    # spc_init=0 -> value 0, +offset -> the constant default mean of -1
+    sched["scale_prior_mean"] = {
+        "init": knobs["spc_init"], "min": 0.0, "factor": 0.5,
+        "iters": 5000, "offset": -1.0, "hold": knobs["spc_hold"]}
+    # temp_init=1 -> clamped at min 1.0 == the constant reference temp
+    sched["z_pres_temperature"] = {
+        "init": knobs["temp_init"], "min": 1.0, "factor": 0.5,
+        "iters": 5000}
+    return sched
+
+
+def stack_knobs(knob_dicts):
+    """[S] knob dicts -> dict of [S] f32 arrays (vmap input)."""
+    keys = knob_dicts[0].keys()
+    return {k: jnp.asarray([d[k] for d in knob_dicts], jnp.float32)
+            for k in keys}
+
+
+def set_replica_knobs(knobs_S: dict, index: int, knobs: dict) -> dict:
+    return {k: knobs_S[k].at[index].set(knobs[k]) for k in knobs_S}
+
+
 def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
-                         donate=True, bg_image=None, bg_schedule=None):
+                         donate=True, bg_image=None, bg_schedule=None,
+                         knob_schedules=False):
     """Build a jitted ``(state_S, images, digits, perms_S, start) ->
     (state_S, metrics)`` running ``num_steps`` fused train steps for every
     replica. ``images``/``digits`` are the SHARED device-resident dataset;
     ``perms_S`` is [S, n] (one epoch permutation per replica); metrics come
-    back as [K, S] arrays."""
+    back as [K, S] arrays.
+
+    ``knob_schedules=True`` adds a trailing ``knobs_S`` argument (dict of
+    [S] f32 arrays, see :func:`rotation_knobs`) giving each replica its own
+    bootstrap-schedule variant — the vmap equivalent of the sequential
+    Trainer's restart schedule rotation."""
+    schedules_fn = None
+    if knob_schedules:
+        base = config.schedules
+        schedules_fn = lambda knobs: schedules_from_knobs(base, knobs)
     single = make_train_step(config, donate=False, jit=False,
-                             bg_image=bg_image, bg_schedule=bg_schedule)
-    vstep = jax.vmap(single, in_axes=(0, 0, 0))
+                             bg_image=bg_image, bg_schedule=bg_schedule,
+                             schedules_fn=schedules_fn)
+    if knob_schedules:
+        vstep = jax.vmap(single, in_axes=(0, 0, 0, 0))
 
-    def multi(state_S, images, digits, perms_S, start):
-        def body(state_S, i):
-            base = (start + i) * batch_size
-            idx = jax.lax.dynamic_slice(
-                perms_S, (0, base), (perms_S.shape[0], batch_size))
-            batch_images = jnp.take(images, idx, axis=0)   # [S, B, D]
-            batch_digits = jnp.take(digits, idx, axis=0)   # [S, B]
-            return vstep(state_S, batch_images, batch_digits)
+        def multi(state_S, images, digits, perms_S, start, knobs_S):
+            def body(state_S, i):
+                base_i = (start + i) * batch_size
+                idx = jax.lax.dynamic_slice(
+                    perms_S, (0, base_i), (perms_S.shape[0], batch_size))
+                return vstep(state_S, jnp.take(images, idx, axis=0),
+                             jnp.take(digits, idx, axis=0), knobs_S)
 
-        return jax.lax.scan(body, state_S, jnp.arange(num_steps))
+            return jax.lax.scan(body, state_S, jnp.arange(num_steps))
+    else:
+        vstep = jax.vmap(single, in_axes=(0, 0, 0))
+
+        def multi(state_S, images, digits, perms_S, start):
+            def body(state_S, i):
+                base_i = (start + i) * batch_size
+                idx = jax.lax.dynamic_slice(
+                    perms_S, (0, base_i), (perms_S.shape[0], batch_size))
+                batch_images = jnp.take(images, idx, axis=0)   # [S, B, D]
+                batch_digits = jnp.take(digits, idx, axis=0)   # [S, B]
+                return vstep(state_S, batch_images, batch_digits)
+
+            return jax.lax.scan(body, state_S, jnp.arange(num_steps))
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 

@@ -47,7 +47,8 @@ def bg_intensity(schedule: dict | None, step) -> jnp.ndarray:
 
 def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
                     donate=True, jit=True, pmean_axis: str | None = None,
-                    bg_image=None, bg_schedule: dict | None = None):
+                    bg_image=None, bg_schedule: dict | None = None,
+                    schedules_fn=None):
     """Build a ``train_step(state, images, targets) -> (state, metrics)``;
     jitted unless ``jit=False`` (the parallel layer jits with explicit
     shardings instead). ``pmean_axis`` inserts a gradient/metric pmean over
@@ -58,7 +59,16 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
     background compositing: each batch becomes
     ``clip(images + s(step) * bg, 0, 1)`` with ``s`` from ``bg_schedule``
     (see :func:`bg_intensity`) — the background-intensity curriculum runs
-    fully fused inside the jitted step, with zero extra host traffic."""
+    fully fused inside the jitted step, with zero extra host traffic.
+
+    ``schedules_fn``: a ``knobs -> annealing-schedules dict`` callable.
+    When given, the returned step takes a FOURTH argument ``knobs`` (a
+    pytree of scalars, traceable) and resolves annealed hyperparameters
+    from ``schedules_fn(knobs)`` instead of ``config.schedules`` — this
+    is how the seed-parallel sweeper rotates bootstrap schedules PER
+    REPLICA inside one vmapped program (multi_seed.schedules_from_knobs):
+    every numeric schedule knob becomes a traced input, so replicas on
+    different restart variants share one compiled step."""
     if optimizer is None:
         optimizer = make_optimizer(config)
     if bg_image is not None and bg_schedule is None:
@@ -71,7 +81,7 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
     bg_flat = (None if bg_image is None
                else jnp.asarray(bg_image, jnp.float32).reshape(-1))
 
-    def train_step(state: TrainState, images, targets):
+    def train_step(state: TrainState, images, targets, knobs=None):
         step = state.step
         key = jax.random.fold_in(state.key, step)
         if bg_flat is not None:
@@ -80,8 +90,9 @@ def make_train_step(config: AIRConfig, optimizer=None, with_grad_stats=False,
         if pmean_axis is not None:
             # decorrelate sampling noise across DP shards
             key = jax.random.fold_in(key, jax.lax.axis_index(pmean_axis))
-        hp = resolve_annealed(config.schedules, config.annealable_defaults(),
-                              step)
+        schedules = (config.schedules if schedules_fn is None
+                     else schedules_fn(knobs))
+        hp = resolve_annealed(schedules, config.annealable_defaults(), step)
 
         def loss_fn(params):
             out = air_forward(params, config, images, targets, key,

@@ -62,6 +62,13 @@ def main():
                         "after each anneal start) — the round-2 stall "
                         "matrix's remedy for the scale-degenerate counting "
                         "basin, promoted per VERDICT r2 #2")
+    p.add_argument("--rotate", type=int, choices=[0, 1], default=1,
+                   help="rotate bootstrap-schedule VARIANTS across "
+                        "restarts per replica (the sequential Trainer's "
+                        "DEFAULT_RESTART_ROTATION, expressed as traced "
+                        "schedule knobs — multi_seed.vmap_rotation_"
+                        "variant); 0 = re-seed only (the round-2/3 "
+                        "behavior, too weak at raw-pixel)")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -74,24 +81,28 @@ def main():
     from air_tpu.data.loader import load_test_data
     from air_tpu.train.multi_seed import (
         create_multi_seed_state, make_multi_seed_step, make_multi_seed_eval,
-        multi_seed_perms, reinit_replica, evaluate_replicas)
+        multi_seed_perms, reinit_replica, evaluate_replicas,
+        rotation_knobs, vmap_rotation_variant, stack_knobs,
+        set_replica_knobs)
     from air_tpu.train.trainer import is_stalled, attempt_seed
 
     sched = DEFAULT_TRAINING_CONFIG.schedules
     if args.hold:
         sched["z_pres_prior_log_odds"]["hold"] = args.hold
-    if args.scale_curriculum:
+    if args.scale_curriculum and not args.rotate:
         # same overlay as trainer.DEFAULT_RESTART_ROTATION[1], but on the
         # base attempt; delayed by the hold so the coarse->fine walk spans
         # the period when z_pres decisions are actually being annealed
+        # (with --rotate the knob-based schedules carry this instead)
         sched["scale_prior_mean"] = {"init": 1.0, "min": 0.0, "factor": 0.5,
                                      "iters": 5000, "offset": -1.0,
                                      "hold": args.hold}
     cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched,
                                           cnn=args.cnn)
-    tag = args.tag or ("vmap_hold%d%s%s" % (
+    tag = args.tag or ("vmap_hold%d%s%s%s" % (
         args.hold, "_cnn" if args.cnn else "",
-        "_scalecur" if args.scale_curriculum else ""))
+        "_scalecur" if args.scale_curriculum else "",
+        "_rot" if args.rotate else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)
@@ -107,8 +118,13 @@ def main():
     S = len(args.seeds)
     seeds = list(args.seeds)           # current data/param seed per replica
     state = create_multi_seed_state(cfg, seeds)
-    multi = make_multi_seed_step(cfg, K, B)
+    multi = make_multi_seed_step(cfg, K, B, knob_schedules=bool(args.rotate))
     eval_fn = make_multi_seed_eval(cfg)
+    knobs_S = None
+    if args.rotate:
+        base_knobs = rotation_knobs(args.hold,
+                                    scale_curriculum=args.scale_curriculum)
+        knobs_S = stack_knobs([base_knobs] * S)
 
     print(f"seed-parallel sweep: S={S} seeds={args.seeds} batch={B} K={K} "
           f"tag={tag}")
@@ -169,10 +185,16 @@ def main():
                         continue
                     restarts[r] += 1
                     new_seed = attempt_seed(args.seeds[r], restarts[r])
+                    variant = ""
+                    if knobs_S is not None:
+                        vk = vmap_rotation_variant(restarts[r], args.hold)
+                        knobs_S = set_replica_knobs(knobs_S, r, vk)
+                        variant = (" variant "
+                                   f"{(restarts[r] - 1) % 5} {vk}")
                     print(f"  [stall] seed {args.seeds[r]} flat at {a:.3f} "
                           f"(replica step {rs}) -> reinit with seed "
                           f"{new_seed} (restart {restarts[r]}/"
-                          f"{args.max_restarts})")
+                          f"{args.max_restarts}){variant}")
                     state = reinit_replica(state, cfg, r, new_seed)
                     seeds[r] = new_seed
                     perms = perms.at[r].set(
@@ -191,20 +213,22 @@ def main():
         k = min(K, remaining,
                 ((step // args.eval_every) + 1) * args.eval_every - step,
                 max_iters - step)
+        extra = () if knobs_S is None else (knobs_S,)
         if k == K:
             state, _ = multi(state, images, digits, perms,
-                             jnp.asarray(index, jnp.int32))
+                             jnp.asarray(index, jnp.int32), *extra)
             index += K
             step += K
         else:
             # off-cadence remainder: run single steps
             single = getattr(main, "_single", None)
             if single is None:
-                single = make_multi_seed_step(cfg, 1, B)
+                single = make_multi_seed_step(
+                    cfg, 1, B, knob_schedules=knobs_S is not None)
                 main._single = single
             for _ in range(k):
                 state, _ = single(state, images, digits, perms,
-                                  jnp.asarray(index, jnp.int32))
+                                  jnp.asarray(index, jnp.int32), *extra)
                 index += 1
                 step += 1
 
@@ -221,6 +245,10 @@ def main():
                 "converged": conv_step[r] is not None
                 or final_acc[r] >= args.stop_acc,
                 "restarts": restarts[r],
+                # which bootstrap-schedule variant the final attempt ran:
+                # "base" or the DEFAULT_RESTART_ROTATION index
+                "variant": ("base" if not args.rotate or restarts[r] == 0
+                            else (restarts[r] - 1) % 5),
                 "wall_minutes": round(wall / 60, 1),
             }
             f.write(json.dumps(rec_out) + "\n")

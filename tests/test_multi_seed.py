@@ -87,6 +87,97 @@ def test_evaluate_replicas_shapes_and_match():
     assert np.all(np.isfinite(loss))
 
 
+def test_knob_schedules_match_dict_variants():
+    """The traced-knob encoding of the restart rotation must resolve to
+    EXACTLY the same annealed hyperparameters as the sequential Trainer's
+    dict-based overlays (trainer.DEFAULT_RESTART_ROTATION), at every
+    step."""
+    from air_tpu.ops.schedules import resolve_annealed
+    from air_tpu.train.multi_seed import (
+        rotation_knobs, vmap_rotation_variant, schedules_from_knobs)
+    from air_tpu.train.trainer import DEFAULT_RESTART_ROTATION
+    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+
+    base_hold = 15000
+    base_sched = DEFAULT_TRAINING_CONFIG.schedules
+    base_sched["z_pres_prior_log_odds"]["hold"] = base_hold
+    defaults = DEFAULT_TRAINING_CONFIG.annealable_defaults()
+    steps = [0, 1, 4999, 15000, 17500, 40000, 120000]
+
+    cases = [(rotation_knobs(base_hold), {}),                  # base attempt
+             (rotation_knobs(base_hold, scale_curriculum=True),
+              {"scale_prior_mean": {"init": 1.0, "min": 0.0, "factor": 0.5,
+                                    "iters": 5000, "offset": -1.0,
+                                    "hold": base_hold}})]      # base+scalecur
+    for n in range(1, 6):
+        cases.append((vmap_rotation_variant(n, base_hold),
+                      DEFAULT_RESTART_ROTATION[n - 1]))
+
+    for knobs, overlay in cases:
+        dict_sched = {k: dict(v) for k, v in base_sched.items()}
+        dict_sched.update(overlay)
+        knob_sched = schedules_from_knobs(
+            base_sched, {k: jnp.asarray(v, jnp.float32)
+                         for k, v in knobs.items()})
+        for s in steps:
+            want = resolve_annealed(dict_sched, defaults, s)
+            got = resolve_annealed(knob_sched, defaults, s)
+            assert set(got) == set(want)
+            for name in want:
+                np.testing.assert_allclose(
+                    np.float32(got[name]), np.float32(want[name]),
+                    rtol=1e-6, err_msg=f"{name} @ step {s} knobs={knobs}")
+
+
+def test_rotated_replica_matches_single_seed_variant():
+    """A replica running rotation variant 0 (the reference schedule)
+    through the knob path must track the single-seed pipeline with the
+    overlaid dict schedule; a sibling on base knobs must track the plain
+    base run — one compiled program, two genuinely different schedules."""
+    from air_tpu.train.multi_seed import (
+        make_multi_seed_step, rotation_knobs, vmap_rotation_variant,
+        stack_knobs)
+    images, digits = _data()
+    base_hold = 8     # small, so the variants differ within a few steps
+    sched = SMALL.schedules
+    sched["z_pres_prior_log_odds"] = {"init": 1e4, "min": 1e-9,
+                                      "factor": 0.1, "iters": 3,
+                                      "log": True, "hold": base_hold}
+    cfg = SMALL.replace(annealing_schedules=sched)
+
+    multi = make_multi_seed_step(cfg, K, B, donate=False,
+                                 knob_schedules=True)
+    state_S = create_multi_seed_state(cfg, SEEDS)
+    perms = multi_seed_perms(N, SEEDS, 0)
+    knobs_S = stack_knobs([rotation_knobs(base_hold),       # replica 0: base
+                           vmap_rotation_variant(1, base_hold)])  # 1: ref
+    state_S, metrics = multi(state_S, images, digits, perms,
+                             jnp.asarray(0, jnp.int32), knobs_S)
+
+    single = make_multi_step(cfg, K, B, donate=False)
+    st0 = create_train_state(cfg, rng=SEEDS[0])
+    st0, m0 = single(st0, images, digits, device_epoch_perm(N, SEEDS[0], 0),
+                     jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(metrics["loss"])[:, 0],
+                               np.asarray(m0["loss"]), rtol=2e-5)
+
+    ref_sched = {k: dict(v) for k, v in sched.items()}
+    ref_sched["z_pres_prior_log_odds"] = {"init": 1e4, "min": 1e-9,
+                                          "factor": 0.1, "iters": 3,
+                                          "log": True}
+    cfg_ref = SMALL.replace(annealing_schedules=ref_sched)
+    single_ref = make_multi_step(cfg_ref, K, B, donate=False)
+    st1 = create_train_state(cfg_ref, rng=SEEDS[1])
+    st1, m1 = single_ref(st1, images, digits,
+                         device_epoch_perm(N, SEEDS[1], 0),
+                         jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(metrics["loss"])[:, 1],
+                               np.asarray(m1["loss"]), rtol=2e-5)
+    # the two schedules REALLY differ inside the hold window
+    assert not np.allclose(np.asarray(m0["z_pres_prior_log_odds"]),
+                           np.asarray(m1["z_pres_prior_log_odds"]))
+
+
 def test_evaluate_replicas_small_test_set_and_tail():
     """Chunks larger than the test set and non-divisible tails must not
     crash or drop examples (code-review round-2 fix)."""
