@@ -173,6 +173,13 @@ DEFAULT_TRAINING_CONFIG = AIRConfig(
     stopping_threshold=0.99,
     learning_rate=1e-4, gradient_clipping_norm=1.0, cnn=False, cnn_filters=8,
     num_summary_images=60, train=True,
+    # TPU-side performance defaults (round-3 step-cost attack, RESULTS.md):
+    # fully unroll the max_steps=3 attention scan (XLA fuses across AIR
+    # steps; 0.49 -> 0.34 ms at b64) and store Adam moments in bf16
+    # (fp32 update math — state.scale_by_adam_stored; 1.65x with unroll at
+    # the HBM-bound scaled config). Neither changes model semantics; the
+    # CPU reference-stand-in baseline pins fp32/rolled (bench.py).
+    scan_unroll=3, adam_storage_dtype="bfloat16",
     annealing_schedules={
         "z_pres_prior_log_odds": {
             "init": 10000.0, "min": 0.000000001,

@@ -400,9 +400,14 @@ def measure_cpu_subprocess(batch_size: int, steps: int = 10) -> dict:
     code = (
         "import jax, json, sys; jax.config.update('jax_platforms','cpu'); "
         f"sys.path.insert(0, {HERE!r}); "
-        "from bench import measure; "
-        f"print('CPURESULT' + json.dumps(measure({batch_size}, {steps}, 2, "
-        "False)))"
+        "import bench; "
+        # the baseline is a stand-in for the TF1 reference (BASELINE.md):
+        # pin reference semantics — fp32 optimizer state, rolled attention
+        # loop — so shipped TPU-side defaults never touch the denominator
+        "bench.CFG_OVERRIDES.update(adam_storage_dtype='float32', "
+        "scan_unroll=1); "
+        f"print('CPURESULT' + json.dumps(bench.measure({batch_size}, "
+        f"{steps}, 2, False)))"
     )
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -449,20 +454,22 @@ def main():
                              "vs 1-CPU throughput at the same per-device "
                              "batch")
     parser.add_argument("--n-devices", type=int, default=8)
-    parser.add_argument("--adam-dtype", default="float32",
+    parser.add_argument("--adam-dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="Adam moment STORAGE dtype (bfloat16 halves "
                              "optimizer-state HBM traffic; update math "
-                             "stays fp32 — state.scale_by_adam_stored)")
-    parser.add_argument("--unroll", type=int, default=1,
+                             "stays fp32 — state.scale_by_adam_stored). "
+                             "Default: the shipped config default")
+    parser.add_argument("--unroll", type=int, default=None,
                         help="unroll factor for the max_steps attention "
-                             "scan (AIRConfig.scan_unroll)")
+                             "scan (AIRConfig.scan_unroll). Default: the "
+                             "shipped config default")
     args = parser.parse_args()
     global ST_IMPL
     ST_IMPL = args.st_impl
-    if args.adam_dtype != "float32":
+    if args.adam_dtype is not None:
         CFG_OVERRIDES["adam_storage_dtype"] = args.adam_dtype
-    if args.unroll != 1:
+    if args.unroll is not None:
         CFG_OVERRIDES["scan_unroll"] = args.unroll
 
     # refresh/create the CPU baseline FIRST — every mode's vs_baseline

@@ -64,13 +64,16 @@ def main():
                              "CONSTRUCTOR default, air/air_model.py:17. "
                              "--no-cnn selects the reference training "
                              "driver's raw-pixel encoder)")
-    parser.add_argument("--adam-dtype", default="float32",
+    parser.add_argument("--adam-dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="Adam moment storage dtype (bfloat16 halves "
-                             "optimizer-state HBM traffic; fp32 math)")
-    parser.add_argument("--unroll", type=int, default=1,
+                             "optimizer-state HBM traffic; fp32 math). "
+                             "Default: the shipped config default "
+                             "(DEFAULT_TRAINING_CONFIG)")
+    parser.add_argument("--unroll", type=int, default=None,
                         help="attention-scan unroll factor "
-                             "(AIRConfig.scan_unroll)")
+                             "(AIRConfig.scan_unroll). Default: the "
+                             "shipped config default")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
     parser.add_argument("--stall-restart-step", type=int, default=60000,
@@ -179,8 +182,9 @@ def main():
         stopping_threshold=args.stopping_threshold,
         cnn=args.cnn,
         learn_background=args.learn_background,
-        adam_storage_dtype=args.adam_dtype,
-        scan_unroll=args.unroll,
+        **({"adam_storage_dtype": args.adam_dtype}
+           if args.adam_dtype is not None else {}),
+        **({"scan_unroll": args.unroll} if args.unroll is not None else {}),
     )
     bg_image, bg_schedule = None, None
     if args.bg_composite_kind:
