@@ -69,6 +69,11 @@ def main():
                         "schedule knobs — multi_seed.vmap_rotation_"
                         "variant); 0 = re-seed only (the round-2/3 "
                         "behavior, too weak at raw-pixel)")
+    p.add_argument("--adam-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage dtype override (default: the "
+                        "shipped config default) — used for convergence "
+                        "attribution A/Bs")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -97,12 +102,15 @@ def main():
         sched["scale_prior_mean"] = {"init": 1.0, "min": 0.0, "factor": 0.5,
                                      "iters": 5000, "offset": -1.0,
                                      "hold": args.hold}
-    cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched,
-                                          cnn=args.cnn)
-    tag = args.tag or ("vmap_hold%d%s%s%s" % (
+    cfg = DEFAULT_TRAINING_CONFIG.replace(
+        annealing_schedules=sched, cnn=args.cnn,
+        **({"adam_storage_dtype": args.adam_dtype}
+           if args.adam_dtype else {}))
+    tag = args.tag or ("vmap_hold%d%s%s%s%s" % (
         args.hold, "_cnn" if args.cnn else "",
         "_scalecur" if args.scale_curriculum else "",
-        "_rot" if args.rotate else ""))
+        "_rot" if args.rotate else "",
+        "_" + args.adam_dtype if args.adam_dtype else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)
