@@ -45,6 +45,15 @@ def main():
                    help="train with the CNN encoder (the reference "
                         "CONSTRUCTOR default, air/air_model.py:17; its "
                         "training driver overrides to False)")
+    p.add_argument("--adam-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage override (default: shipped "
+                        "config default)")
+    p.add_argument("--unroll", type=int, default=None,
+                   help="scan_unroll override (default: shipped config "
+                        "default). The raw-pixel bootstrap is sensitive "
+                        "to unrolled-fusion numerics (RESULTS.md r3) — "
+                        "pass 1 for reference-exact runs")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -66,8 +75,18 @@ def main():
         sched["scale_prior_mean"] = {
             "init": 1.0, "min": 0.0, "factor": 0.5, "iters": 5000,
             "offset": -1.0}
-    cfg = DEFAULT_TRAINING_CONFIG.replace(annealing_schedules=sched,
-                                          cnn=args.cnn)
+    # raw-pixel runs pin reference-exact numerics (rolled scan, fp32
+    # moments) unless overridden — RESULTS.md round-3 unroll attribution
+    adam_dtype, unroll = args.adam_dtype, args.unroll
+    if not args.cnn:
+        if unroll is None:
+            unroll = 1
+        if adam_dtype is None:
+            adam_dtype = "float32"
+    cfg = DEFAULT_TRAINING_CONFIG.replace(
+        annealing_schedules=sched, cnn=args.cnn,
+        **({"adam_storage_dtype": adam_dtype} if adam_dtype else {}),
+        **({"scan_unroll": unroll} if unroll is not None else {}))
 
     tag = args.tag or (f"hold{args.hold}"
                        + ("_cnn" if args.cnn else "")

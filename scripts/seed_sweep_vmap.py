@@ -74,6 +74,9 @@ def main():
                    help="Adam moment storage dtype override (default: the "
                         "shipped config default) — used for convergence "
                         "attribution A/Bs")
+    p.add_argument("--unroll", type=int, default=None,
+                   help="scan_unroll override (default: the shipped "
+                        "config default) — attribution A/Bs")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
@@ -102,15 +105,25 @@ def main():
         sched["scale_prior_mean"] = {"init": 1.0, "min": 0.0, "factor": 0.5,
                                      "iters": 5000, "offset": -1.0,
                                      "hold": args.hold}
+    # raw-pixel runs pin reference-exact numerics (rolled scan, fp32
+    # moments) unless overridden — the unrolled-fusion numerics collapse
+    # this config's bootstrap (RESULTS.md round-3 unroll attribution)
+    adam_dtype, unroll = args.adam_dtype, args.unroll
+    if not args.cnn:
+        if unroll is None:
+            unroll = 1
+        if adam_dtype is None:
+            adam_dtype = "float32"
     cfg = DEFAULT_TRAINING_CONFIG.replace(
         annealing_schedules=sched, cnn=args.cnn,
-        **({"adam_storage_dtype": args.adam_dtype}
-           if args.adam_dtype else {}))
-    tag = args.tag or ("vmap_hold%d%s%s%s%s" % (
+        **({"adam_storage_dtype": adam_dtype} if adam_dtype else {}),
+        **({"scan_unroll": unroll} if unroll is not None else {}))
+    tag = args.tag or ("vmap_hold%d%s%s%s%s%s" % (
         args.hold, "_cnn" if args.cnn else "",
         "_scalecur" if args.scale_curriculum else "",
         "_rot" if args.rotate else "",
-        "_" + args.adam_dtype if args.adam_dtype else ""))
+        "_" + args.adam_dtype if args.adam_dtype else "",
+        "_unroll%d" % args.unroll if args.unroll is not None else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)
