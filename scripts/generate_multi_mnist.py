@@ -39,11 +39,32 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--mnist-folder", default="mnist_data")
     parser.add_argument("--out-folder", default="multi_mnist_data")
+    parser.add_argument("--source", default="auto",
+                        choices=["auto", "sklearn"],
+                        help="auto: real MNIST idx/npz from --mnist-folder "
+                             "if present, else synthetic glyphs. sklearn: "
+                             "the 1797 REAL handwritten UCI digits bundled "
+                             "with scikit-learn (upsampled 8x8 -> 28x28)")
+    parser.add_argument("--digit-slice", default="",
+                        help="a:b slice of the digit pool (after a "
+                             "seed-0 shuffle), e.g. ':1400' / '1400:' — "
+                             "for disjoint-pool generalization datasets")
     args = parser.parse_args()
 
     from air_tpu.data import get_mnist, generate_dataset, MultiMNISTConfig
 
-    digits, labels, source = get_mnist(args.mnist_folder)
+    if args.source == "sklearn":
+        from air_tpu.data.mnist import load_sklearn_digits
+        digits, labels = load_sklearn_digits()
+        source = "sklearn-real-handwritten"
+    else:
+        digits, labels, source = get_mnist(args.mnist_folder)
+    if args.digit_slice:
+        import numpy as np
+        a, b = args.digit_slice.split(":")
+        perm = np.random.default_rng(0).permutation(len(digits))
+        sel = perm[slice(int(a) if a else None, int(b) if b else None)]
+        digits, labels = digits[sel], labels[sel]
     print(f"digit source: {source} ({len(digits)} digits)")
 
     os.makedirs(args.out_folder, exist_ok=True)

@@ -348,3 +348,30 @@ def test_train_loader_state_tracks_consumption(digits_pool):
     fresh.restore(st)
     got = next(iter(fresh))
     np.testing.assert_array_equal(want[0], got[0])
+
+
+def test_load_sklearn_digits_real_handwriting():
+    """The bundled UCI handwritten digits (the only REAL handwriting in a
+    zero-egress image) must come out MNIST-shaped: 28x28 frames with a
+    centered ~20x20 ink region and MNIST-like ink statistics, drop-in
+    compatible with the multi-MNIST generator."""
+    pytest.importorskip("sklearn")
+    from air_tpu.data.mnist import load_sklearn_digits
+
+    images, labels = load_sklearn_digits()
+    assert images.shape == (1797, 784) and labels.shape == (1797,)
+    assert images.dtype == np.float32 and labels.dtype == np.int32
+    assert 0.0 <= images.min() and images.max() <= 1.0
+    assert set(np.unique(labels)) == set(range(10))
+    grid = images.reshape(-1, 28, 28)
+    # ink confined to the centered 20x20 region (4px MNIST-style margin)
+    assert grid[:, :4, :].max() == 0.0 and grid[:, :, :4].max() == 0.0
+    assert grid[:, 24:, :].max() == 0.0 and grid[:, :, 24:].max() == 0.0
+    # MNIST-like ink mass (synthesize_mnist targets ~150-250 px per digit)
+    ink = (images > 0.1).sum(axis=1)
+    assert 120 < ink.mean() < 320
+    # and the generator accepts them directly
+    cfg = MultiMNISTConfig(max_digits=2, max_in_common=2, images_per_digit=3,
+                           test_set_size=2)
+    out = generate_dataset(images[:50], labels[:50], cfg)
+    assert len(out["common"]["images"]) > 0
