@@ -179,6 +179,12 @@ DEFAULT_TRAINING_CONFIG = AIRConfig(
     # (fp32 update math — state.scale_by_adam_stored; 1.65x with unroll at
     # the HBM-bound scaled config). Neither changes model semantics; the
     # CPU reference-stand-in baseline pins fp32/rolled (bench.py).
+    # CONVERGENCE CAVEAT: when TRAINING with the raw-pixel encoder
+    # (cnn=False, as here), apply pin_raw_pixel_numerics() — the unrolled
+    # scan's fusion numerics collapse that config's localization
+    # bootstrap (RESULTS.md round-3 unroll attribution). All shipped
+    # drivers do this automatically; the CNN robust default is
+    # insensitive and keeps the fast numerics.
     scan_unroll=3, adam_storage_dtype="bfloat16",
     annealing_schedules={
         "z_pres_prior_log_odds": {
@@ -188,3 +194,32 @@ DEFAULT_TRAINING_CONFIG = AIRConfig(
         },
     },
 )
+
+
+def pin_raw_pixel_numerics(cnn: bool, adam_dtype: str | None = None,
+                           unroll: int | None = None) -> dict:
+    """Config overrides enforcing reference-exact numerics for the
+    fragile raw-pixel bootstrap.
+
+    Three 10-seed raw-pixel sweeps with ``scan_unroll=3`` collapsed to
+    0-1/10 converged vs 5/10 rolled — the unrolled scan's wider fusion
+    scope perturbs the scale/shift-head gradients during the bootstrap
+    window and the trajectory lands in the degenerate constant-count
+    basin (RESULTS.md, round-3 unroll attribution). The CNN encoder is
+    insensitive (converges *faster* unrolled), so only ``cnn=False``
+    pins; explicit ``adam_dtype``/``unroll`` overrides always win.
+
+    Returns kwargs for ``AIRConfig.replace`` — used by ``training.py``
+    and both seed sweepers.
+    """
+    if not cnn:
+        if unroll is None:
+            unroll = 1
+        if adam_dtype is None:
+            adam_dtype = "float32"
+    out = {}
+    if adam_dtype is not None:
+        out["adam_storage_dtype"] = adam_dtype
+    if unroll is not None:
+        out["scan_unroll"] = unroll
+    return out

@@ -57,7 +57,8 @@ def main():
     p.add_argument("--tag", default=None)
     args = p.parse_args()
 
-    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    from air_tpu.models.config import (
+        DEFAULT_TRAINING_CONFIG, pin_raw_pixel_numerics)
     from air_tpu.train.trainer import (
         Trainer, TrainerConfig, DEFAULT_RESTART_ROTATION)
     from air_tpu.data.loader import load_test_data
@@ -75,18 +76,11 @@ def main():
         sched["scale_prior_mean"] = {
             "init": 1.0, "min": 0.0, "factor": 0.5, "iters": 5000,
             "offset": -1.0}
-    # raw-pixel runs pin reference-exact numerics (rolled scan, fp32
-    # moments) unless overridden — RESULTS.md round-3 unroll attribution
-    adam_dtype, unroll = args.adam_dtype, args.unroll
-    if not args.cnn:
-        if unroll is None:
-            unroll = 1
-        if adam_dtype is None:
-            adam_dtype = "float32"
     cfg = DEFAULT_TRAINING_CONFIG.replace(
         annealing_schedules=sched, cnn=args.cnn,
-        **({"adam_storage_dtype": adam_dtype} if adam_dtype else {}),
-        **({"scan_unroll": unroll} if unroll is not None else {}))
+        # raw-pixel runs pin rolled scan + fp32 moments unless overridden
+        # (RESULTS.md round-3 unroll attribution)
+        **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll))
 
     tag = args.tag or (f"hold{args.hold}"
                        + ("_cnn" if args.cnn else "")

@@ -218,3 +218,23 @@ def test_param_count_default_config():
     """~4.0M parameters at the reference default config (SURVEY.md §2a)."""
     model = AIRModel(DEFAULT_TRAINING_CONFIG, rng=0)
     assert 3.8e6 < model.num_params < 4.3e6
+
+
+def test_pin_raw_pixel_numerics():
+    """Driver-level invariant (RESULTS.md round-3 unroll attribution):
+    raw-pixel (cnn=False) training pins the reference-exact rolled scan
+    + fp32 Adam moments unless explicitly overridden; the CNN robust
+    default keeps the fast TPU numerics."""
+    from air_tpu.models.config import (DEFAULT_TRAINING_CONFIG,
+                                       pin_raw_pixel_numerics)
+    raw = DEFAULT_TRAINING_CONFIG.replace(
+        cnn=False, **pin_raw_pixel_numerics(False))
+    assert raw.scan_unroll == 1
+    assert raw.adam_storage_dtype == "float32"
+    cnn = DEFAULT_TRAINING_CONFIG.replace(
+        cnn=True, **pin_raw_pixel_numerics(True))
+    assert cnn.scan_unroll == 3
+    assert cnn.adam_storage_dtype == "bfloat16"
+    # explicit overrides always win
+    assert pin_raw_pixel_numerics(False, "bfloat16", 3) == {
+        "adam_storage_dtype": "bfloat16", "scan_unroll": 3}

@@ -147,7 +147,8 @@ def main():
                              "without it), OFF for the CNN default")
     args = parser.parse_args()
 
-    from air_tpu.models.config import DEFAULT_TRAINING_CONFIG
+    from air_tpu.models.config import (
+        DEFAULT_TRAINING_CONFIG, pin_raw_pixel_numerics)
     from air_tpu.train.trainer import (
         Trainer, TrainerConfig, DEFAULT_RESTART_ROTATION)
     from air_tpu.data.loader import load_test_data
@@ -173,19 +174,6 @@ def main():
                  f"(run scripts/generate_multi_mnist.py or pass "
                  f"--synthetic-data N)")
 
-    # The raw-pixel (--no-cnn) bootstrap is fragile to non-reference
-    # numerics: three 10-seed sweeps with the unrolled attention scan
-    # collapsed to 0-1/10 converged vs 5/10 rolled (RESULTS.md round-3
-    # unroll attribution), while the CNN robust default converges fine
-    # (and faster) unrolled. Pin reference-exact rolled scan + fp32
-    # moments at --no-cnn unless explicitly overridden.
-    adam_dtype, unroll = args.adam_dtype, args.unroll
-    if not args.cnn:
-        if unroll is None:
-            unroll = 1
-        if adam_dtype is None:
-            adam_dtype = "float32"
-
     model_config = DEFAULT_TRAINING_CONFIG.replace(
         max_steps=args.max_steps, max_digits=args.max_digits,
         rnn_units=args.rnn_units, canvas_size=args.canvas_size,
@@ -195,9 +183,9 @@ def main():
         stopping_threshold=args.stopping_threshold,
         cnn=args.cnn,
         learn_background=args.learn_background,
-        **({"adam_storage_dtype": adam_dtype}
-           if adam_dtype is not None else {}),
-        **({"scan_unroll": unroll} if unroll is not None else {}),
+        # raw-pixel runs pin reference-exact numerics (rolled scan, fp32
+        # moments) unless overridden — RESULTS.md round-3 unroll attribution
+        **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll),
     )
     bg_image, bg_schedule = None, None
     if args.bg_composite_kind:
