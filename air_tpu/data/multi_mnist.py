@@ -51,6 +51,31 @@ def read_image(path: str, max_intensity: float = 1.0) -> np.ndarray:
     return image
 
 
+def prepare_background(canvas_size: int, bg_path: str = "",
+                       bg_kind: str = "", max_intensity: float = 1.0,
+                       seed: int = 0):
+    """The dataset's static background texture as a [canvas, canvas]
+    array, or None: a PNG via :func:`read_image` (reference
+    multi_mnist.py:319,334) or a procedural texture
+    (air_tpu.data.backgrounds), center-cropped / tiled to canvas size.
+    Shared by the generator and the training-driver's on-device
+    intensity-curriculum compositor so both see the SAME pixels."""
+    if bg_path:
+        bg = read_image(bg_path, max_intensity)
+    elif bg_kind:
+        from air_tpu.data.backgrounds import generate_background
+        bg = generate_background(bg_kind, canvas_size, seed, max_intensity)
+    else:
+        return None
+    if bg.shape != (canvas_size, canvas_size):
+        bh, bw = bg.shape
+        if bh < canvas_size or bw < canvas_size:
+            reps = (canvas_size // bh + 1, canvas_size // bw + 1)
+            bg = np.tile(bg, reps)
+        bg = bg[:canvas_size, :canvas_size]
+    return bg
+
+
 def crop_non_empty(image: np.ndarray) -> np.ndarray:
     """Tight crop to nonzero rows/cols (reference multi_mnist.py:36-42)."""
     cols = np.nonzero(image.sum(axis=0))[0]
@@ -250,21 +275,10 @@ def generate_dataset(single_images, single_labels, config: MultiMNISTConfig,
     cfg = config
     rng = np.random.default_rng(cfg.seed)
     stream = DigitStream(len(single_images), rng)
-    if cfg.bg_path:
-        bg = read_image(cfg.bg_path, cfg.bg_max_intensity)
-    elif cfg.bg_kind:
-        from air_tpu.data.backgrounds import generate_background
-        bg = generate_background(cfg.bg_kind, cfg.canvas_size, cfg.seed,
-                                 cfg.bg_max_intensity)
-    else:
-        bg = None
-    if bg is not None and bg.shape != (cfg.canvas_size, cfg.canvas_size):
-        # center-crop / tile the background to canvas size
-        bh, bw = bg.shape
-        if bh < cfg.canvas_size or bw < cfg.canvas_size:
-            reps = (cfg.canvas_size // bh + 1, cfg.canvas_size // bw + 1)
-            bg = np.tile(bg, reps)
-        bg = bg[:cfg.canvas_size, :cfg.canvas_size]
+    bg = prepare_background(cfg.canvas_size, bg_path=cfg.bg_path,
+                            bg_kind=cfg.bg_kind,
+                            max_intensity=cfg.bg_max_intensity,
+                            seed=cfg.seed)
 
     common = {k: [] for k in
               ("images", "indices", "positions", "boxes", "labels", "digits")}

@@ -232,3 +232,35 @@ def test_checkpoint_roundtrip_with_background(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.params["background"]),
         np.asarray(restored.params["background"]))
+
+
+def test_prepare_background_matches_generator_texture(tmp_path):
+    """training.py's on-device curriculum compositor must see the SAME
+    pixels the dataset generator composited (shared prepare_background):
+    PNG path incl. the center-crop/tile-to-canvas step."""
+    import numpy as np
+    from PIL import Image
+    from air_tpu.data.multi_mnist import (prepare_background, read_image,
+                                          MultiMNISTConfig, generate_dataset)
+
+    rng = np.random.default_rng(3)
+    tex = (rng.uniform(0.2, 1.0, size=(30, 70)) * 255).astype(np.uint8)
+    p = str(tmp_path / "tex.png")
+    Image.fromarray(tex, "L").save(p)
+
+    bg = prepare_background(50, bg_path=p, max_intensity=1.0)
+    assert bg.shape == (50, 50)
+    # tiling: rows 0-29 from the texture, rows 30-49 repeat rows 0-19
+    full = read_image(p, 1.0)
+    np.testing.assert_allclose(bg[:30], full[:, :50])
+    np.testing.assert_allclose(bg[30:], full[:20, :50])
+
+    # a 0-digit scene from the generator IS that background
+    digits = np.zeros((40, 784), np.float32)
+    digits[:, 300:340] = 1.0
+    labels = np.arange(40) % 10
+    cfg = MultiMNISTConfig(max_digits=0, max_in_common=0, images_per_digit=2,
+                           test_set_size=1, bg_path=p, bg_max_intensity=1.0)
+    out = generate_dataset(digits, labels.astype(np.int32), cfg)
+    scene = np.asarray(out["common"]["images"][0], np.float32).reshape(50, 50)
+    np.testing.assert_allclose(scene, bg, atol=1.5e-2)  # uint8 round-trip

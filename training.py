@@ -120,6 +120,14 @@ def main():
                              "on device at an annealed intensity; train "
                              "data should be the CLEAN dataset variant and "
                              "test data the composited one")
+    parser.add_argument("--bg-composite-path", default="",
+                        help="background-intensity curriculum from a REAL "
+                             "texture image (e.g. the reference's "
+                             "backgrounds/ PNGs): composite this file "
+                             "into each TRAIN batch on device at an "
+                             "annealed intensity (prepared exactly like "
+                             "the generator's --bg-path — "
+                             "data.multi_mnist.prepare_background)")
     parser.add_argument("--bg-composite-seed", type=int, default=0,
                         help="texture seed (must match the dataset "
                              "generator's --seed for equivalence)")
@@ -188,11 +196,12 @@ def main():
         **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll),
     )
     bg_image, bg_schedule = None, None
-    if args.bg_composite_kind:
-        from air_tpu.data.backgrounds import generate_background
-        bg_image = generate_background(
-            args.bg_composite_kind, args.canvas_size,
-            args.bg_composite_seed, max_intensity=1.0).reshape(-1)
+    if args.bg_composite_kind or args.bg_composite_path:
+        from air_tpu.data.multi_mnist import prepare_background
+        bg_image = prepare_background(
+            args.canvas_size, bg_path=args.bg_composite_path,
+            bg_kind=args.bg_composite_kind, max_intensity=1.0,
+            seed=args.bg_composite_seed).reshape(-1)
         bg_schedule = {"target": args.bg_target, "start": args.bg_start,
                        "ramp": args.bg_ramp}
     scale_curriculum = (not args.cnn if args.scale_curriculum is None
