@@ -32,6 +32,19 @@ except ImportError:  # pragma: no cover
     nd = None
 
 
+def show_image(image) -> None:  # pragma: no cover - display helper
+    """Display a [0,1] grayscale canvas (reference multi_mnist.py:11-14).
+    Headless environments: falls back to saving ``show_image.png``."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    plt.imshow(image, cmap="gray", vmin=0.0, vmax=1.0)
+    if matplotlib.get_backend().lower() == "agg":
+        plt.savefig("show_image.png")
+        print("show_image: headless backend, saved show_image.png")
+    else:
+        plt.show()
+
+
 def read_image(path: str, max_intensity: float = 1.0) -> np.ndarray:
     """Load a grayscale background normalized to [0, max_intensity]
     (reference multi_mnist.py:17-33)."""

@@ -35,7 +35,8 @@ def device_epoch_perm(n: int, seed: int, epoch) -> jnp.ndarray:
 
 def make_parallel_multi_step(config: AIRConfig, num_steps: int,
                              batch_size: int, mesh, donate=True,
-                             bg_image=None, bg_schedule=None):
+                             bg_image=None, bg_schedule=None,
+                             pipeline_unroll: int = 1):
     """Sharded (SPMD) variant of ``make_multi_step``: the dataset is
     replicated, each device of the mesh's ``data`` axis gathers and
     processes its slice of every batch, and gradients are pmean'd before
@@ -67,7 +68,8 @@ def make_parallel_multi_step(config: AIRConfig, num_steps: int,
                                     jnp.take(digits, idx, axis=0))
             return state, metrics
 
-        return jax.lax.scan(body, state, jnp.arange(num_steps))
+        return jax.lax.scan(body, state, jnp.arange(num_steps),
+                            unroll=pipeline_unroll)
 
     mapped = shard_map(
         sharded_body, mesh=mesh,
@@ -78,13 +80,21 @@ def make_parallel_multi_step(config: AIRConfig, num_steps: int,
 
 
 def make_multi_step(config: AIRConfig, num_steps: int, batch_size: int,
-                    donate=True, bg_image=None, bg_schedule=None):
+                    donate=True, bg_image=None, bg_schedule=None,
+                    pipeline_unroll: int = 1):
     """Build a jitted ``(state, images_dev, digits_dev, perm, start) ->
     (state, metrics[K])`` running ``num_steps`` train steps in one dispatch.
 
     ``start`` is the batch index within the epoch; batches
     [start, start + num_steps) are consumed. Metrics come back as [K]
     arrays (one entry per inner step).
+
+    ``pipeline_unroll`` unrolls the K-step pipeline scan, letting XLA fuse
+    across *optimizer* steps (the param/moment HBM round-trip per inner
+    step is the batch-independent fixed cost isolated in RESULTS.md).
+    Sequential param dependence means no cross-step math reassociation of
+    the kind that broke the raw-pixel attention scan, but it is still a
+    fusion-numerics knob — bench-only until convergence-tested.
     """
     single = make_train_step(config, donate=False, jit=False,
                              bg_image=bg_image, bg_schedule=bg_schedule)
@@ -98,7 +108,8 @@ def make_multi_step(config: AIRConfig, num_steps: int, batch_size: int,
             state, metrics = single(state, batch_images, batch_digits)
             return state, metrics
 
-        return jax.lax.scan(body, state, jnp.arange(num_steps))
+        return jax.lax.scan(body, state, jnp.arange(num_steps),
+                            unroll=pipeline_unroll)
 
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 

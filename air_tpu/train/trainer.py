@@ -91,6 +91,10 @@ class TrainerConfig:
     # (air_tpu/train/fast_pipeline.py) — the TPU-native input path
     device_data: bool = False
     multi_step: int = 50
+    # unroll factor for the K-step pipeline scan: fuses across optimizer
+    # steps, attacking the batch-independent param/moment HBM round-trip
+    # per inner step (RESULTS.md). 1 = reference-exact rolled numerics.
+    pipeline_unroll: int = 1
     # data parallelism: shard batches over the mesh's "data" axis
     # (air_tpu/parallel); n_devices=None -> all visible devices
     data_parallel: bool = False
@@ -486,12 +490,13 @@ class Trainer:
         bg_kw = {"bg_image": tcfg.bg_image, "bg_schedule": tcfg.bg_schedule}
 
         def build_steps(cfg):
+            pu = {"pipeline_unroll": tcfg.pipeline_unroll}
             if self.mesh is not None:
                 return (make_parallel_multi_step(cfg, K, tcfg.batch_size,
-                                                 self.mesh, **bg_kw),
+                                                 self.mesh, **bg_kw, **pu),
                         make_parallel_multi_step(cfg, 1, tcfg.batch_size,
                                                  self.mesh, **bg_kw))
-            return (make_multi_step(cfg, K, tcfg.batch_size, **bg_kw),
+            return (make_multi_step(cfg, K, tcfg.batch_size, **bg_kw, **pu),
                     make_multi_step(cfg, 1, tcfg.batch_size, **bg_kw))
 
         multi, single = build_steps(self.train_config)

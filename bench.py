@@ -218,7 +218,8 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
 
 
 def measure_fused(batch_size: int, K: int, warmup: int, seed: int = 0,
-                  config: str = "default", repeats: int = 3) -> dict:
+                  config: str = "default", repeats: int = 3,
+                  pipeline_unroll: int = 1) -> dict:
     """The REAL training hot path: device-resident dataset with K steps
     fused per dispatch (air_tpu/train/fast_pipeline — what --device-data
     training runs). Per-step time = per-dispatch slope / K; dispatch
@@ -238,7 +239,8 @@ def measure_fused(batch_size: int, K: int, warmup: int, seed: int = 0,
     digits = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
     perm = jnp.arange(n)
     state = create_train_state(CFG, rng=seed)
-    multi = make_multi_step(CFG, K, batch_size)
+    multi = make_multi_step(CFG, K, batch_size,
+                            pipeline_unroll=pipeline_unroll)
     box = [state]
 
     def run_once(i):
@@ -464,6 +466,11 @@ def main():
                         help="unroll factor for the max_steps attention "
                              "scan (AIRConfig.scan_unroll). Default: the "
                              "shipped config default")
+    parser.add_argument("--pipeline-unroll", type=int, default=1,
+                        help="unroll factor for the K-step fused-pipeline "
+                             "scan (fuses across optimizer steps; attacks "
+                             "the batch-independent param/moment HBM "
+                             "round-trip per inner step)")
     args = parser.parse_args()
     global ST_IMPL
     ST_IMPL = args.st_impl
@@ -490,7 +497,8 @@ def main():
                           or args.multi_seed)
     if args.fused:
         r = measure_fused(args.batch_size, args.multi_step, args.warmup,
-                          config=args.config, repeats=args.repeats)
+                          config=args.config, repeats=args.repeats,
+                          pipeline_unroll=args.pipeline_unroll)
         print(f"fused K={r['multi_step']}: {r['images_per_sec']:.0f} "
               f"img/s ({r['step_ms']:.3f} ms/step, mfu {r['mfu']:.3f})",
               file=sys.stderr)

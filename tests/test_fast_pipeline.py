@@ -71,6 +71,30 @@ def test_multi_step_start_offset():
                                rtol=2e-4)
 
 
+def test_multi_step_pipeline_unroll_parity():
+    """Unrolling the K-step pipeline scan (bench lever against the
+    batch-independent per-step param/moment HBM round-trip) is
+    semantically identity — same final state and per-step losses."""
+    images, digits = _data(64)
+    B, K = 8, 4
+    perm = device_epoch_perm(64, seed=3, epoch=0)
+    outs = []
+    for unroll in (1, 2, 4):
+        state = create_train_state(SMALL, rng=0)
+        multi = make_multi_step(SMALL, K, B, donate=False,
+                                pipeline_unroll=unroll)
+        new, metrics = multi(state, jnp.asarray(images),
+                             jnp.asarray(digits), perm,
+                             jnp.asarray(0, jnp.int32))
+        outs.append((np.asarray(metrics["loss"]), new))
+    for loss, new in outs[1:]:
+        np.testing.assert_allclose(loss, outs[0][0], rtol=2e-4)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            new.params, outs[0][1].params)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
 def test_device_epoch_perm_deterministic():
     p1 = np.asarray(device_epoch_perm(100, seed=5, epoch=2))
     p2 = np.asarray(device_epoch_perm(100, seed=5, epoch=2))

@@ -41,6 +41,10 @@ def main():
                         help="device-resident dataset + K fused steps per "
                              "dispatch (fastest on TPU)")
     parser.add_argument("--multi-step", type=int, default=50)
+    parser.add_argument("--pipeline-unroll", type=int, default=1,
+                        help="unroll the K-step fused-pipeline scan "
+                             "(fuses across optimizer steps; bench-"
+                             "validated perf knob, 1 = rolled)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all devices' data axis")
     parser.add_argument("--n-devices", type=int, default=None)
@@ -236,6 +240,7 @@ def main():
         tensorboard=args.tensorboard,
         device_data=args.device_data,
         multi_step=args.multi_step,
+        pipeline_unroll=args.pipeline_unroll,
         data_parallel=args.data_parallel,
         n_devices=args.n_devices,
         reader_threads=args.reader_threads,
