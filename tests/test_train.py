@@ -274,6 +274,34 @@ def test_variable_summaries():
         assert np.isfinite(float(v)), k
 
 
+def test_trainer_device_data_pipeline_unroll(tmp_path):
+    """TrainerConfig.pipeline_unroll reaches the fused pipeline and the
+    run matches the rolled path exactly (scan unroll is identity)."""
+    import json
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    rng = np.random.default_rng(0)
+    cs = SMALL.canvas_size
+    images = rng.uniform(size=(64, cs * cs)).astype(np.float32)
+    digits = rng.integers(0, 3, 64).astype(np.int32)
+    accs = []
+    for pu in (1, 2):
+        tcfg = TrainerConfig(
+            results_folder=str(tmp_path / f"pu{pu}"), batch_size=8,
+            epochs=None, max_iterations=6, num_summaries_every=6,
+            var_summaries_every=10 ** 9, img_summaries_every=10 ** 9,
+            grad_summaries_every=0, save_params_every=10 ** 9,
+            eval_batch_size=32, seed=0, log_every=6,
+            source_snapshot=False, device_data=True, multi_step=3,
+            pipeline_unroll=pu)
+        tr = Trainer(SMALL, tcfg, (images, digits),
+                     (images[:32], digits[:32]))
+        tr.train()
+        recs = [json.loads(l) for l in
+                open(tmp_path / f"pu{pu}" / "summary" / "metrics.jsonl")]
+        accs.append([r["test/accuracy"] for r in recs if "test/accuracy" in r])
+    assert accs[0] == accs[1]
+
+
 def test_trainer_device_data_var_and_grad_summaries(tmp_path):
     """Device-data path writes var/ and grad/ records at their cadences."""
     import json
