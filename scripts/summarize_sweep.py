@@ -1,28 +1,54 @@
 #!/usr/bin/env python
-"""Summarize a robustness-sweep ledger (scripts/seed_sweep.py output).
+"""Summarize robustness-sweep ledgers (seed_sweep / seed_sweep_vmap output).
 
-Prints the per-seed table plus the headline tally used in RESULTS.md:
-``python scripts/summarize_sweep.py sweep_r2/results.jsonl``.
+Single ledger (per-seed table + tally, later re-runs supersede):
+    python scripts/summarize_sweep.py sweep_r2/results.jsonl
+
+Union across ledgers/tags (per-seed BEST attempt — converged first, then
+highest accuracy; the "restarts permitted, schedule variants documented"
+view of a campaign, e.g. decisive vmap sweep + sequential rescues):
+    python scripts/summarize_sweep.py \
+        sweep_vmap/results.jsonl:vmap_r3_decisive \
+        sweep_r3_rescue/results.jsonl:rescue_spc_rot
+A ``path:tag`` argument keeps only that tag's rows; bare paths keep all.
 """
 
 import json
 import sys
 
 
-def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "sweep_r2/results.jsonl"
-    rows = {}
+def load(arg):
+    path, _, tag = arg.partition(":")
+    rows = []
     with open(path) as f:
         for line in f:
             r = json.loads(line)
-            # later entries for a seed (re-runs) supersede earlier ones
-            rows[(r["seed"], r["tag"])] = r
+            if not tag or r.get("tag") == tag:
+                r["_src"] = arg
+                rows.append(r)
+    return rows
+
+
+def main():
+    args = sys.argv[1:] or ["sweep_r2/results.jsonl"]
+    union = len(args) > 1 or any(":" in a for a in args)
+    rows = {}
+    for arg in args:
+        for r in load(arg):
+            key = (r["seed"],) if union else (r["seed"], r["tag"])
+            prev = rows.get(key)
+            # single ledger: later entries (re-runs) supersede; union:
+            # keep the best attempt (converged beats not, then accuracy)
+            if prev is None or not union or (
+                    (r["converged"], r["test_accuracy"])
+                    > (prev["converged"], prev["test_accuracy"])):
+                rows[key] = r
     rows = sorted(rows.values(), key=lambda r: (r["seed"], r["tag"]))
     n_conv = sum(r["converged"] for r in rows)
-    print(f"{'seed':>4} {'tag':<22} {'steps':>8} {'acc':>6} "
+    print(f"{'seed':>4} {'tag':<26} {'steps':>8} {'acc':>6} "
           f"{'restarts':>8} {'min':>6}")
     for r in rows:
-        print(f"{r['seed']:>4} {r['tag']:<22} {r['final_step']:>8} "
+        print(f"{r['seed']:>4} {r['tag']:<26} {r['final_step']:>8} "
               f"{r['test_accuracy']:>6.3f} {r['restarts']:>8} "
               f"{r['wall_minutes']:>6.1f}")
     print(f"\nconverged: {n_conv}/{len(rows)}  "
