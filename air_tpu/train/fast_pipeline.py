@@ -142,6 +142,7 @@ class DeviceDataPipeline:
         self.epoch = int(state["epoch"])
         self.index = int(state["index"]) // self.batch_size
         self.seed = int(state["seed"])
+        self._perm_epoch = -1     # seed may differ: drop the cached perm
 
     def reseed(self, seed: int):
         """Fresh data order from the start (stall auto-recovery): rewind

@@ -18,6 +18,8 @@ tests/test_multi_seed.py::test_replica_matches_single_seed.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -32,20 +34,38 @@ def create_multi_seed_state(config: AIRConfig, seeds) -> TrainState:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
+@jax.jit
+def _stitch_replica(state: TrainState, fresh: TrainState,
+                    index) -> TrainState:
+    """One program for the ~100-leaf replica replacement (eager per-leaf
+    ``.at[].set`` would cost ~100 dispatches over the tunnel)."""
+    return jax.tree_util.tree_map(
+        lambda stacked, new: stacked.at[index].set(new), state, fresh)
+
+
 def reinit_replica(state: TrainState, config: AIRConfig, index: int,
                    seed: int) -> TrainState:
     """Replace replica ``index`` with a fresh init (stall auto-recovery:
     re-seed only the dead replica, the healthy ones keep training)."""
     fresh = create_train_state(config, rng=int(seed))
-    return jax.tree_util.tree_map(
-        lambda stacked, new: stacked.at[index].set(new), state, fresh)
+    return _stitch_replica(state, fresh, jnp.asarray(index, jnp.int32))
+
+
+@partial(jax.jit, static_argnums=2)
+def _perms_impl(seeds: jnp.ndarray, epoch, n: int) -> jnp.ndarray:
+    def one(s):
+        key = jax.random.fold_in(jax.random.PRNGKey(s), epoch)
+        return jax.random.permutation(key, n)
+    return jax.vmap(one)(seeds)
 
 
 def multi_seed_perms(n: int, seeds, epoch) -> jnp.ndarray:
     """[S, n] per-replica epoch permutations — each seed sees its own data
-    order (the stall basin is partly data-order-driven, RESULTS.md)."""
-    from air_tpu.train.fast_pipeline import device_epoch_perm
-    return jnp.stack([device_epoch_perm(n, int(s), epoch) for s in seeds])
+    order (the stall basin is partly data-order-driven, RESULTS.md). One
+    jitted program (bit-identical to stacking ``device_epoch_perm`` per
+    seed, verified by test_replica_matches_single_seed)."""
+    seeds = jnp.asarray([int(s) for s in seeds], jnp.int32)
+    return _perms_impl(seeds, jnp.asarray(epoch, jnp.int32), n)
 
 
 # --- Per-replica schedule rotation (vmap-compatible restart variants) ---
@@ -77,6 +97,14 @@ def rotation_knobs(z_pres_hold: float = 0.0, scale_curriculum: bool = False,
     }
 
 
+N_ROTATION_VARIANTS = 5    # keep == len(variants) in vmap_rotation_variant
+
+
+def rotation_variant_index(n_restarts: int) -> int:
+    """Which rotation variant the n-th restart runs (n >= 1)."""
+    return (n_restarts - 1) % N_ROTATION_VARIANTS
+
+
 def vmap_rotation_variant(n: int, base_hold: float):
     """Knobs for the n-th restart (n >= 1) — mirrors
     trainer.DEFAULT_RESTART_ROTATION variant (n-1) % 5."""
@@ -88,7 +116,8 @@ def vmap_rotation_variant(n: int, base_hold: float):
         rotation_knobs(2 * base_hold, temp_init=5.0),         # long hold
         rotation_knobs(0.0, temp_init=5.0),                   # ref + temp
     )
-    return variants[(n - 1) % len(variants)]
+    assert len(variants) == N_ROTATION_VARIANTS
+    return variants[rotation_variant_index(n)]
 
 
 def schedules_from_knobs(base_schedules: dict, knobs: dict) -> dict:
@@ -187,7 +216,14 @@ def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
                       key, step, batch_size: int = 500,
                       eval_fn=None):
     """Full-test-set accuracy/loss per replica, chunked to bound memory.
-    Returns (accuracy[S], loss[S]) numpy arrays."""
+    Returns (accuracy[S], loss[S]) numpy arrays.
+
+    Caveat: annealed hyperparameters are resolved at the single shared
+    ``step`` from the BASE schedules — for a restarted replica (reset
+    clock) or a knob-rotated one, ``loss[S]`` is computed under slightly
+    different prior/temperature values than it trained with. Accuracy is
+    unaffected (eval rounds z_pres, and sigmoid(x/T) >= 0.5 is
+    T-invariant)."""
     import numpy as np
     if eval_fn is None:
         eval_fn = make_multi_seed_eval(config)

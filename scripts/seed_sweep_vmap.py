@@ -91,8 +91,8 @@ def main():
     from air_tpu.train.multi_seed import (
         create_multi_seed_state, make_multi_seed_step, make_multi_seed_eval,
         multi_seed_perms, reinit_replica, evaluate_replicas,
-        rotation_knobs, vmap_rotation_variant, stack_knobs,
-        set_replica_knobs)
+        rotation_knobs, vmap_rotation_variant, rotation_variant_index,
+        stack_knobs, set_replica_knobs)
     from air_tpu.train.trainer import is_stalled, attempt_seed
 
     sched = DEFAULT_TRAINING_CONFIG.schedules
@@ -126,8 +126,14 @@ def main():
         os.path.join(args.data, "test.airrec"),
         shift_zero_digits_images=True)
     n = len(images)
-    B, K = args.batch_size, args.multi_step
+    B = args.batch_size
     batches_per_epoch = n // B
+    # a K above batches_per_epoch would make the off-cadence single-step
+    # path the steady state, forfeiting the fusion this script exists for
+    K = min(args.multi_step, batches_per_epoch)
+    if K < args.multi_step:
+        print(f"clamping K {args.multi_step} -> {K} "
+              f"(only {batches_per_epoch} batches/epoch)")
 
     S = len(args.seeds)
     seeds = list(args.seeds)           # current data/param seed per replica
@@ -157,29 +163,36 @@ def main():
     def replica_steps():
         return np.asarray(jax.device_get(state.step))
 
+    def run_eval():
+        """Eval + convergence bookkeeping; True once all replicas done."""
+        rsteps = replica_steps()
+        acc, _ = evaluate_replicas(cfg, state, test_images, test_digits,
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(0x5EED), step),
+                                   step, batch_size=args.eval_batch,
+                                   eval_fn=eval_fn)
+        line = " ".join(f"s{sd}:{a:.3f}" for sd, a in zip(args.seeds, acc))
+        print(f"[eval @ {step}] {line}", flush=True)
+        for r in range(S):
+            # freeze final_acc once the replica has converged: it keeps
+            # training with the pack, and a later regression would
+            # otherwise overwrite the accuracy that conv_step describes
+            # (ADVICE r2)
+            if conv_step[r] is None:
+                final_acc[r] = float(acc[r])
+            history[r].append((int(rsteps[r]), float(acc[r])))
+            if conv_step[r] is None and acc[r] >= args.stop_acc:
+                conv_step[r] = int(rsteps[r])
+                print(f"  seed {args.seeds[r]} converged at replica "
+                      f"step {conv_step[r]} ({acc[r]:.3f})")
+        return all(c is not None for c in conv_step)
+
+    last_eval = -1
+    single_step = None                 # off-cadence 1-step program
     while step < max_iters:
         if step % args.eval_every == 0:
-            rsteps = replica_steps()
-            acc, _ = evaluate_replicas(cfg, state, test_images, test_digits,
-                                       jax.random.fold_in(
-                                           jax.random.PRNGKey(0x5EED), step),
-                                       step, batch_size=args.eval_batch,
-                                       eval_fn=eval_fn)
-            line = " ".join(f"s{sd}:{a:.3f}" for sd, a in zip(args.seeds, acc))
-            print(f"[eval @ {step}] {line}", flush=True)
-            for r in range(S):
-                # freeze final_acc once the replica has converged: it keeps
-                # training with the pack, and a later regression would
-                # otherwise overwrite the accuracy that conv_step describes
-                # (ADVICE r2)
-                if conv_step[r] is None:
-                    final_acc[r] = float(acc[r])
-                history[r].append((int(rsteps[r]), float(acc[r])))
-                if conv_step[r] is None and acc[r] >= args.stop_acc:
-                    conv_step[r] = int(rsteps[r])
-                    print(f"  seed {args.seeds[r]} converged at replica "
-                          f"step {conv_step[r]} ({acc[r]:.3f})")
-            if all(c is not None for c in conv_step):
+            last_eval = step
+            if run_eval():
                 print("all replicas converged")
                 break
             # per-replica stall recovery
@@ -204,7 +217,8 @@ def main():
                         vk = vmap_rotation_variant(restarts[r], args.hold)
                         knobs_S = set_replica_knobs(knobs_S, r, vk)
                         variant = (" variant "
-                                   f"{(restarts[r] - 1) % 5} {vk}")
+                                   f"{rotation_variant_index(restarts[r])}"
+                                   f" {vk}")
                     print(f"  [stall] seed {args.seeds[r]} flat at {a:.3f} "
                           f"(replica step {rs}) -> reinit with seed "
                           f"{new_seed} (restart {restarts[r]}/"
@@ -235,16 +249,19 @@ def main():
             step += K
         else:
             # off-cadence remainder: run single steps
-            single = getattr(main, "_single", None)
-            if single is None:
-                single = make_multi_seed_step(
+            if single_step is None:
+                single_step = make_multi_seed_step(
                     cfg, 1, B, knob_schedules=knobs_S is not None)
-                main._single = single
             for _ in range(k):
-                state, _ = single(state, images, digits, perms,
-                                  jnp.asarray(index, jnp.int32), *extra)
+                state, _ = single_step(state, images, digits, perms,
+                                       jnp.asarray(index, jnp.int32), *extra)
                 index += 1
                 step += 1
+
+    if last_eval != step and not all(c is not None for c in conv_step):
+        # the loop exited at max_iters up to eval_every-1 steps after the
+        # last eval: refresh the ledger's accuracy at the true final step
+        run_eval()
 
     wall = time.time() - t0
     rsteps = replica_steps()
@@ -262,7 +279,7 @@ def main():
                 # which bootstrap-schedule variant the final attempt ran:
                 # "base" or the DEFAULT_RESTART_ROTATION index
                 "variant": ("base" if not args.rotate or restarts[r] == 0
-                            else (restarts[r] - 1) % 5),
+                            else rotation_variant_index(restarts[r])),
                 "wall_minutes": round(wall / 60, 1),
             }
             f.write(json.dumps(rec_out) + "\n")

@@ -121,6 +121,15 @@ def test_pipeline_bookkeeping_and_resume():
     assert q.epoch == 1 and q.index == 0
     np.testing.assert_array_equal(np.asarray(p.perm()), np.asarray(q.perm()))
 
+    # restore() must drop a cached perm computed under a DIFFERENT seed at
+    # the same epoch (e.g. checkpoint restore after a stall reseed)
+    r = DeviceDataPipeline(images, digits, batch_size=8, seed=7)
+    r.epoch = 1
+    stale = np.asarray(r.perm())     # seed-7 epoch-1 perm now cached
+    r.restore(state)                 # seed 0, epoch 1
+    assert not np.array_equal(np.asarray(r.perm()), stale)
+    np.testing.assert_array_equal(np.asarray(r.perm()), np.asarray(p.perm()))
+
 
 def test_trainer_device_data_smoke(tmp_path):
     from air_tpu.train.trainer import Trainer, TrainerConfig
