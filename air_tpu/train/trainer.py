@@ -70,6 +70,12 @@ class TrainerConfig:
     # the reference schedule rescues slow-convergers the hold traps), so
     # re-seeding alone under-uses the restart budget. Empty = re-seed only.
     # Evaluation always runs at the BASE config (comparable accuracy).
+    # Known limitation: checkpoint resume restores params/step/data-order
+    # but NOT the recovery bookkeeping — a process killed mid-rescue
+    # resumes the attempt on the BASE schedule with a fresh restart
+    # budget (sweep ledgers track attempts per process; the compound
+    # stall+checkpoint+crash case has not warranted extending the
+    # checkpoint format).
     restart_schedule_rotation: tuple = ()
     # When the restart budget is exhausted and the run stalls AGAIN, stop
     # early (report the stalled accuracy) instead of burning the remaining
@@ -181,6 +187,13 @@ def is_stalled(history, step: int, acc: float, detect_step,
         if acc - past[-1] >= min_progress:
             return False                 # still climbing — not stalled
     return True
+
+
+def cadence_hit(step: int, every) -> bool:
+    """True when ``step`` lands on the cadence; 0/None = disabled (the
+    cadences filter and tests' 10**9 workaround both treat 0 as off —
+    a bare ``step % every`` would raise ZeroDivisionError)."""
+    return bool(every) and every > 0 and step % every == 0
 
 
 def attempt_seed(base_seed: int, attempt: int) -> int:
@@ -501,9 +514,14 @@ class Trainer:
 
         multi, single = build_steps(self.train_config)
 
+        # log_every is NOT an event cadence: chunks span log boundaries and
+        # per-step lines are read back from the dispatch's [K] metric
+        # arrays (log_steps below) — capping chunks at log_every (default
+        # 1: reference per-iteration stdout) would defeat the fusion
         cadences = [c for c in (tcfg.num_summaries_every,
                                 tcfg.save_params_every,
-                                tcfg.img_summaries_every, tcfg.log_every)
+                                tcfg.img_summaries_every,
+                                tcfg.grad_summaries_every)
                     if c and c > 0]
 
         def next_event(step):
@@ -511,10 +529,32 @@ class Trainer:
                 if cadences else step + K
             return nxt
 
+        def log_steps(end_step, span, m):
+            """Reference-parity stdout (training.py:226): one line per log
+            boundary crossed by the last dispatch, per-step values indexed
+            from its [span] metric arrays; ONE chunk-mean JSONL record."""
+            L = tcfg.log_every
+            if not L or L <= 0:
+                return
+            first = ((end_step - span) // L + 1) * L
+            if first > end_step:
+                return
+            la = np.asarray(m["loss"]).reshape(-1)      # one fetch each,
+            aa = np.asarray(m["accuracy"]).reshape(-1)  # not one per line
+            for s in range(first, end_step + 1, L):
+                i = s - (end_step - span) - 1
+                print(f"iteration {s}\tloss {la[i]:.3f}\t"
+                      f"accuracy {aa[i]:.2f}")
+            self.metrics.write(
+                end_step, {name: float(jnp.mean(v))
+                           for name, v in m.items()
+                           if not isinstance(v, dict)}, prefix="train/")
+
         t_start = time.time()
         images_seen = 0
         restarts = 0
         metrics = None                       # set by the first dispatch
+        last_eval = (None, None)             # (step, acc) of the last eval
         step = int(self.state.step)          # tracked host-side from here on
         total_epochs = tcfg.epochs if tcfg.epochs is not None else 10 ** 9
         max_iters = tcfg.max_iterations
@@ -524,9 +564,10 @@ class Trainer:
         while self.loader.epoch < total_epochs:
             if max_iters is not None and step >= max_iters:
                 break
-            if step % tcfg.num_summaries_every == 0:
+            if cadence_hit(step, tcfg.num_summaries_every):
                 acc = self.write_eval_summaries(
-                    step, step % tcfg.img_summaries_every == 0)
+                    step, cadence_hit(step, tcfg.img_summaries_every))
+                last_eval = (step, acc)
                 print(f"[eval @ {step}] test accuracy {acc:.4f}")
                 if tcfg.stop_at_accuracy is not None \
                         and acc >= tcfg.stop_at_accuracy:
@@ -540,14 +581,27 @@ class Trainer:
                     step = 0
                     if tcfg.restart_schedule_rotation:
                         multi, single = build_steps(self.train_config)
+                        # the instrumented grad step must follow the
+                        # rotated schedules too, or its logged annealed
+                        # hyperparameters describe steps the model never
+                        # takes (review r3)
+                        if self.mesh is not None:
+                            from air_tpu.parallel.train_parallel import (
+                                make_parallel_train_step)
+                            self.train_step_gs = make_parallel_train_step(
+                                self.train_config, self.mesh, donate=False,
+                                with_grad_stats=True, **bg_kw)
+                        else:
+                            self.train_step_gs = make_train_step(
+                                self.train_config, with_grad_stats=True,
+                                donate=False, **bg_kw)
                     continue
-                if step % tcfg.var_summaries_every == 0:
+                if cadence_hit(step, tcfg.var_summaries_every):
                     self._write_var_summaries(step)
-            if step % tcfg.save_params_every == 0:
+            if cadence_hit(step, tcfg.save_params_every):
                 save_checkpoint(self.models_dir, self.state, step,
                                 loader_state=self.loader.state())
-            if tcfg.grad_summaries_every and \
-                    step % tcfg.grad_summaries_every == 0:
+            if cadence_hit(step, tcfg.grad_summaries_every):
                 # one instrumented single step on the next batch (the fused
                 # multi-step cannot expose per-variable grads)
                 imgs, digs = self.loader.gather_batch()
@@ -566,31 +620,26 @@ class Trainer:
                 k = min(k, max_iters - step)
             fn = multi if k == K else single
             reps = 1 if k == K else k
-            for _ in range(reps):
+            for i_rep in range(reps):
                 self.state, metrics = fn(
                     self.state, self.loader.images, self.loader.digits,
                     self.loader.perm(), jnp.asarray(self.loader.index,
                                                     jnp.int32))
                 self.loader.advance(1 if reps > 1 else k)
+                if reps > 1:
+                    log_steps(step + i_rep + 1, 1, metrics)
             step += k
             images_seen += k * tcfg.batch_size
-
-
-            if metrics is not None and (
-                    step % tcfg.log_every == 0 or
-                    (tcfg.log_every and step // tcfg.log_every
-                     != (step - k) // tcfg.log_every)):
-                loss = float(jnp.mean(metrics["loss"]))
-                acc = float(jnp.mean(metrics["accuracy"]))
-                print(f"iteration {step}\tloss {loss:.3f}\t"
-                      f"accuracy {acc:.2f}")
-                self.metrics.write(
-                    step, {name: float(jnp.mean(v))
-                           for name, v in metrics.items()
-                           if not isinstance(v, dict)}, prefix="train/")
+            if reps == 1:
+                log_steps(step, k, metrics)
 
         final_step = step
-        acc = self.write_eval_summaries(final_step, with_images=True)
+        if last_eval[0] == final_step:
+            # the loop broke right after an eval at this step (stop-at-
+            # accuracy / give-up): don't pay a duplicate full-test pass
+            acc = last_eval[1]
+        else:
+            acc = self.write_eval_summaries(final_step, with_images=True)
         save_checkpoint(self.models_dir, self.state, final_step,
                         loader_state=self.loader.state())
         wall = time.time() - t_start
@@ -619,23 +668,22 @@ class Trainer:
             if tcfg.max_iterations is not None and step >= tcfg.max_iterations:
                 break
 
-            if step % tcfg.num_summaries_every == 0:
-                with_images = step % tcfg.img_summaries_every == 0
+            if cadence_hit(step, tcfg.num_summaries_every):
+                with_images = cadence_hit(step, tcfg.img_summaries_every)
                 acc = self.write_eval_summaries(step, with_images)
                 print(f"[eval @ {step}] test accuracy {acc:.4f}")
                 if tcfg.stop_at_accuracy is not None \
                         and acc >= tcfg.stop_at_accuracy:
                     print(f"target accuracy {tcfg.stop_at_accuracy} reached")
                     break
-                if step % tcfg.var_summaries_every == 0:
+                if cadence_hit(step, tcfg.var_summaries_every):
                     self._write_var_summaries(step)
 
-            if step % tcfg.save_params_every == 0:
+            if cadence_hit(step, tcfg.save_params_every):
                 save_checkpoint(self.models_dir, self.state, step,
                                 loader_state=loader_state_snapshot)
 
-            if tcfg.grad_summaries_every and \
-                    step % tcfg.grad_summaries_every == 0:
+            if cadence_hit(step, tcfg.grad_summaries_every):
                 self.state, metrics = self.train_step_gs(
                     self.state, images, targets)
                 self._write_grad_summaries(step, metrics)
@@ -645,7 +693,7 @@ class Trainer:
             loader_state_snapshot = self.loader.state()
 
             images_seen += tcfg.batch_size
-            if step % tcfg.log_every == 0:
+            if cadence_hit(step, tcfg.log_every):
                 loss = float(metrics["loss"])
                 acc = float(metrics["accuracy"])
                 print(f"iteration {step + 1}\tloss {loss:.3f}\t"
@@ -653,11 +701,14 @@ class Trainer:
                 self.metrics.write(step, {k: v for k, v in metrics.items()},
                                    prefix="train/")
 
-        # final eval + checkpoint
+        # final eval + checkpoint. NOTE: loader_state_snapshot, NOT
+        # self.loader.state() — a break can fire after the loop pulled an
+        # in-flight batch the model never trained on; the snapshot is the
+        # position the saved params actually correspond to (exact-resume)
         final_step = int(self.state.step)
         acc = self.write_eval_summaries(final_step, with_images=True)
         save_checkpoint(self.models_dir, self.state, final_step,
-                        loader_state=self.loader.state())
+                        loader_state=loader_state_snapshot)
         wall = time.time() - t_start
         ips = images_seen / wall if wall > 0 else 0.0
         print(f"training has ended: step {final_step}, "

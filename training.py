@@ -180,6 +180,15 @@ def main():
             canvas_size=args.canvas_size, seed=args.seed)
         generate_dataset(digits, labels, cfg, out_dir=out_dir,
                          progress=lambda d, n: print(f"  {d}-digit: {n}"))
+        # the generator writes canonical names; honor a custom
+        # --train-data filename by pointing at what was produced
+        gen_train = os.path.join(out_dir, "common.airrec")
+        if not os.path.exists(args.train_data) and os.path.exists(gen_train):
+            print(f"synthetic data written as {gen_train}; using it "
+                  f"(and {out_dir}/test.airrec) instead of "
+                  f"{args.train_data}")
+            args.train_data = gen_train
+            args.test_data = os.path.join(out_dir, "test.airrec")
 
     if not os.path.exists(args.train_data):
         sys.exit(f"training data not found: {args.train_data} "
