@@ -95,6 +95,35 @@ def test_multi_step_pipeline_unroll_parity():
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
 
 
+def test_trainer_fused_chunks_with_default_logging(tmp_path, monkeypatch):
+    """--log-every 1 (the reference per-iteration stdout default) must NOT
+    cap device-data chunks at 1 step: per-step lines are read back from
+    the [K] metric arrays instead (trainer review r3)."""
+    import air_tpu.train.fast_pipeline as fp
+    from air_tpu.train.trainer import Trainer, TrainerConfig
+    calls = {"multi": 0, "single": 0}
+    orig = fp.make_multi_step
+
+    def counting(cfg, K, B, **kw):
+        fn = orig(cfg, K, B, **kw)
+
+        def wrapped(*a, **k):
+            calls["multi" if K > 1 else "single"] += 1
+            return fn(*a, **k)
+        return wrapped
+
+    monkeypatch.setattr(fp, "make_multi_step", counting)
+    images, digits = _data(64)
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "r"), batch_size=8, epochs=None,
+        max_iterations=8, num_summaries_every=8, var_summaries_every=10 ** 9,
+        img_summaries_every=10 ** 9, grad_summaries_every=0,
+        save_params_every=10 ** 9, eval_batch_size=32, seed=0,
+        log_every=1, source_snapshot=False, device_data=True, multi_step=4)
+    Trainer(SMALL, tcfg, (images, digits), (images[:32], digits[:32])).train()
+    assert calls["multi"] == 2 and calls["single"] == 0, calls
+
+
 def test_device_epoch_perm_deterministic():
     p1 = np.asarray(device_epoch_perm(100, seed=5, epoch=2))
     p2 = np.asarray(device_epoch_perm(100, seed=5, epoch=2))
