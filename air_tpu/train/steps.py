@@ -20,9 +20,7 @@ from air_tpu.ops.schedules import resolve_annealed
 from air_tpu.train.state import TrainState, make_optimizer
 
 
-def _global_norm(tree) -> jnp.ndarray:
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
-                        for x in jax.tree_util.tree_leaves(tree)))
+_global_norm = optax.global_norm     # same semantics; one source of truth
 
 
 def bg_intensity(schedule: dict | None, step) -> jnp.ndarray:

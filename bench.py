@@ -26,6 +26,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(HERE, "baseline_cpu.json")
+REFERENCE_BATCH = 64       # the reference's batch (its training.py:14)
 
 
 ST_IMPL = "xla"
@@ -132,8 +133,6 @@ def slope_time(run_once, k1: int, k2: int, repeats: int) -> float:
     returned instead."""
     if k2 <= k1:
         k1 = max(k2 // 2, 1)
-    if k2 <= k1:
-        raise ValueError(f"slope_time needs k2 > k1 (got {k1}, {k2})")
 
     def chain(k):
         t0 = time.perf_counter()
@@ -142,6 +141,11 @@ def slope_time(run_once, k1: int, k2: int, repeats: int) -> float:
             out = run_once(i)
         _fetch(out)
         return time.perf_counter() - t0
+
+    if k2 <= k1:
+        # degenerate request (e.g. --steps 1): no slope possible — the
+        # conservative whole-chain mean is the documented fallback
+        return chain(k2) / k2
     slopes, t2_last = [], None
     for _ in range(max(1, repeats)):
         t1 = chain(k1)
@@ -172,12 +176,16 @@ def measure(batch_size: int, steps: int, warmup: int, eval_mode: bool,
     k1 = max(steps // 5, 5)
     if eval_mode:
         eval_step = make_eval_step(CFG)
+        # constant key/step: per-call eager fold_in/zeros dispatches would
+        # land in the slope and inflate a sub-ms eval step (review r3);
+        # the program still executes every call — JAX does not memoize
+        # dispatches — and the key only varies sampled noise
         key = jax.random.PRNGKey(0)
+        step0 = jnp.zeros((), jnp.int32)
 
         def run_once(i):
-            return eval_step(state.params, images, targets,
-                             jax.random.fold_in(key, i),
-                             jnp.zeros((), jnp.int32)).per_example_loss
+            return eval_step(state.params, images, targets, key,
+                             step0).per_example_loss
         tc0 = time.perf_counter()
         _fetch(run_once(0))
         compile_time = time.perf_counter() - tc0
@@ -379,7 +387,12 @@ def measure_dp_subprocess(n_devices: int, per_device_batch: int,
     code = (
         "import jax, json, sys; jax.config.update('jax_platforms','cpu'); "
         f"sys.path.insert(0, {HERE!r}); "
-        "from bench import measure_dp; "
+        "import bench; from bench import measure_dp; "
+        # pin the SAME numerics as the CPU denominator (fp32 moments,
+        # rolled scan): the dp ratio is documented as pure SPMD overhead
+        # and must not be confounded by a numerics-config delta
+        "bench.CFG_OVERRIDES.update(adam_storage_dtype='float32', "
+        "scan_unroll=1); "
         f"print('DPRESULT' + json.dumps(measure_dp({n_devices}, "
         f"{per_device_batch}, {steps}, {warmup})))"
     )
@@ -479,12 +492,29 @@ def main():
     if args.unroll is not None:
         CFG_OVERRIDES["scan_unroll"] = args.unroll
 
+    if args.fused and (args.eval or args.multi_seed or args.data_parallel):
+        parser.error("--fused conflicts with --eval/--multi-seed/"
+                     "--data-parallel (it would silently measure fused "
+                     "training instead)")
+
     # refresh/create the CPU baseline FIRST — every mode's vs_baseline
-    # divides by it (and --measure-cpu must work regardless of mode)
-    if not args.data_parallel and (
-            args.measure_cpu or not os.path.exists(BASELINE_FILE)):
+    # divides by it (and --measure-cpu must work regardless of mode).
+    # ALWAYS measured at the reference's own batch 64 / default config
+    # (reference training.py:14), whatever this run benches: vs_baseline
+    # is "times the reference's actual CPU step", a fixed denominator
+    # that never silently shifts with --batch-size/--config (review r3).
+    need = args.measure_cpu or not os.path.exists(BASELINE_FILE)
+    if not need:
+        try:
+            with open(BASELINE_FILE) as f:
+                need = json.load(f)["train_b64"].get(
+                    "batch_size", REFERENCE_BATCH) != REFERENCE_BATCH
+        except (KeyError, ValueError):
+            need = True
+    if not args.data_parallel and need:
         print("measuring CPU baseline...", file=sys.stderr)
-        cpu = measure_cpu_subprocess(args.batch_size)
+        cpu = measure_cpu_subprocess(REFERENCE_BATCH)
+        cpu["batch_size"] = REFERENCE_BATCH
         with open(BASELINE_FILE, "w") as f:
             json.dump({"train_b64": cpu}, f, indent=1)
         print(f"cpu baseline: {cpu['images_per_sec']:.1f} images/sec",
@@ -499,14 +529,19 @@ def main():
         r = measure_fused(args.batch_size, args.multi_step, args.warmup,
                           config=args.config, repeats=args.repeats,
                           pipeline_unroll=args.pipeline_unroll)
+        mfu_s = f"{r['mfu']:.3f}" if r["mfu"] is not None else "n/a"
         print(f"fused K={r['multi_step']}: {r['images_per_sec']:.0f} "
-              f"img/s ({r['step_ms']:.3f} ms/step, mfu {r['mfu']:.3f})",
+              f"img/s ({r['step_ms']:.3f} ms/step, mfu {mfu_s})",
               file=sys.stderr)
         baseline = 598.0
         if os.path.exists(BASELINE_FILE):
             with open(BASELINE_FILE) as f:
                 baseline = json.load(f)["train_b64"]["images_per_sec"]
         suffix = "" if args.config == "default" else f"_{args.config}"
+        if args.st_impl != "xla":
+            suffix += f"_{args.st_impl}"
+        if args.pipeline_unroll != 1:
+            suffix += f"_pu{args.pipeline_unroll}"
         print(json.dumps({
             "metric": f"multi_mnist_train_fused{r['multi_step']}"
                       f"_images_per_sec_b{args.batch_size}{suffix}",
@@ -514,9 +549,11 @@ def main():
             "unit": "images/sec (device-resident pipeline, "
                     f"{r['multi_step']} steps/dispatch)",
             "vs_baseline": round(r["images_per_sec"] / baseline, 2),
-            "mfu": round(r["mfu"], 4),
-            "baseline_note": "JAX-CPU stand-in step; lower-bounds the "
-                             "speedup vs the TF1 reference (BASELINE.md)",
+            "mfu": round(r["mfu"], 4) if r["mfu"] is not None else None,
+            "baseline_note": "JAX-CPU stand-in of the reference's b64 "
+                             "default step (fixed denominator); "
+                             "lower-bounds the speedup vs the TF1 "
+                             "reference (BASELINE.md)",
         }))
         return
 
