@@ -71,8 +71,13 @@ class TrainLoader:
         return self.n // self.batch_size
 
     def state(self) -> dict:
-        """Data-order state for exact checkpoint/resume."""
-        return {"epoch": self.epoch, "index": self.index, "seed": self.seed}
+        """Data-order state for exact checkpoint/resume. Records which
+        permutation backend produced the order: the native C++ stream and
+        the numpy stream are DIFFERENT permutations for the same (seed,
+        epoch), so resuming under the other backend silently replays a
+        different data order."""
+        return {"epoch": self.epoch, "index": self.index, "seed": self.seed,
+                "perm_backend": "native" if self._native else "numpy"}
 
     def restore(self, state: dict):
         self.epoch = int(state["epoch"])
@@ -80,6 +85,15 @@ class TrainLoader:
         self.seed = int(state["seed"])
         if self._native is not None:
             self._native.seed = self.seed
+        saved = state.get("perm_backend")
+        now = "native" if self._native else "numpy"
+        if saved is not None and saved != now:
+            import warnings
+            warnings.warn(
+                f"loader resumed under the '{now}' permutation backend but "
+                f"was checkpointed under '{saved}': the data order will "
+                f"differ from the original run (exact-resume is per-"
+                f"backend)", stacklevel=2)
 
     def reseed(self, seed: int):
         """Fresh data order from the start (stall auto-recovery): rewind
@@ -142,21 +156,44 @@ class TrainLoader:
         # the consumer's device_put overlaps with the in-flight step.
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put so an abandoned iterator (consumer broke out of
+            # its for-loop) releases the producer instead of leaking a
+            # thread blocked on a full queue holding staged batches
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=1.0)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self._iter_host():
-                    q.put(item)
-            finally:
-                q.put(stop)
+                    if not put(item):
+                        return
+                put(stop)
+            except BaseException as e:       # propagate to the consumer —
+                if not put(e):               # a swallowed producer error
+                    raise                    # would end training "cleanly";
+                # (re-raise only if the consumer is gone, else threading's
+                # excepthook double-logs an error the consumer will raise)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield emit(item)
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield emit(item)
+        finally:
+            abandoned.set()
 
 
 def load_test_data(path: str, shift_zero_digits_images: bool = True):

@@ -30,13 +30,34 @@ def _next_bucket(n: int, buckets=(1, 8, 64, 256, 1024)) -> int:
     return int(2 ** np.ceil(np.log2(n)))
 
 
+def _pad_to_bucket(batch: np.ndarray):
+    """Zero-pad [n, D] up to the next bucket size; returns (padded, n)."""
+    n = len(batch)
+    if n == 0:
+        raise ValueError("infer called with no images")
+    bucket = _next_bucket(n)
+    if bucket != n:
+        batch = np.concatenate(
+            [batch, np.zeros((bucket - n, batch.shape[1]), np.float32)])
+    return batch, n
+
+
 class ModelWrapper:
     def __init__(self, config: AIRConfig, params, canvas_size: int | None = None,
                  window_size: int | None = None, seed: int = 0):
         self.config = config.replace(train=False)
         self.params = params
-        self.canvas_size = canvas_size or config.canvas_size
-        self.window_size = window_size or config.windows_size
+        # reference-ctor-parity args; the model geometry comes from the
+        # config, so a differing value would silently misalign the packed
+        # columns — validate instead
+        if canvas_size is not None and canvas_size != config.canvas_size:
+            raise ValueError(f"canvas_size {canvas_size} != "
+                             f"config.canvas_size {config.canvas_size}")
+        if window_size is not None and window_size != config.windows_size:
+            raise ValueError(f"window_size {window_size} != "
+                             f"config.windows_size {config.windows_size}")
+        self.canvas_size = config.canvas_size
+        self.window_size = config.windows_size
         self._eval = make_eval_step(self.config)
         self._key = jax.random.PRNGKey(seed)
         self._calls = 0
@@ -81,19 +102,22 @@ class ModelWrapper:
         [B, canvas^2] array (padded to a bucket internally)."""
         images = np.asarray(images, np.float32).reshape(
             len(images), -1)
-        n = len(images)
-        bucket = _next_bucket(n)
-        if bucket != n:
-            images = np.concatenate(
-                [images, np.zeros((bucket - n, images.shape[1]), np.float32)])
+        images, n = _pad_to_bucket(images)
         self._calls += 1
         key = jax.random.fold_in(self._key, self._calls)
         out = self._eval(self.params, jnp.asarray(images),
-                         jnp.zeros((bucket,), jnp.int32), key,
+                         jnp.zeros((len(images),), jnp.int32), key,
                          jnp.zeros((), jnp.int32))
-        return jax.tree_util.tree_map(
+        out = jax.tree_util.tree_map(
             lambda x: np.asarray(x)[:n] if np.ndim(x) > 0 else np.asarray(x),
             out)
+        # the batch-mean scalars were computed over the padded bucket
+        # (blank padding rows predict 0 digits and count as "correct"
+        # against the zero targets fed above) — recompute over the n
+        # real rows
+        return out._replace(
+            loss=np.float32(np.mean(out.per_example_loss)),
+            accuracy=np.float32(np.mean(out.rec_num_digits == 0)))
 
     def infer(self, images):
         """Reference-shaped inference (demo/model_wrapper.py:14-52):
@@ -101,15 +125,12 @@ class ModelWrapper:
         all_windows, all_latents, all_loss), per-step lists trimmed to the
         inferred digit count. One device->host transfer per call."""
         batch = np.asarray([np.ravel(img) for img in images], np.float32)
-        n = len(batch)
-        bucket = _next_bucket(n)
-        if bucket != n:
-            batch = np.concatenate(
-                [batch, np.zeros((bucket - n, batch.shape[1]), np.float32)])
+        batch, n = _pad_to_bucket(batch)
         self._calls += 1
         key = jax.random.fold_in(self._key, self._calls)
         packed = np.asarray(self._packed(
-            self.params, jnp.asarray(batch), jnp.zeros((bucket,), jnp.int32),
+            self.params, jnp.asarray(batch),
+            jnp.zeros((len(batch),), jnp.int32),
             key, jnp.zeros((), jnp.int32)))[:n]
 
         cs, ws = self.canvas_size, self.window_size

@@ -23,16 +23,24 @@ import numpy as np
 from air_tpu.train.state import TrainState, create_train_state
 
 
+def _sidecar(path: str) -> str:
+    """The .json metadata path for a .npz checkpoint path (splitext, not
+    str.replace — a '.npz' substring in a directory name must not match)."""
+    return os.path.splitext(path)[0] + ".json"
+
+
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)) and not hasattr(tree, "shape"):
+        # NOTE: namedtuples flatten by index and rebuild as plain lists
+        # (_listify); the params tree is dicts/lists only, and opt_state
+        # is rebuilt from a fresh optimizer's structure, so nothing
+        # round-trips a namedtuple through this path
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
-        if hasattr(tree, "_fields"):  # NamedTuple: remember field names
-            pass
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -61,25 +69,34 @@ def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
         else:
             arrays[f"opt/{i}"] = leaf
     arrays["step"] = np.asarray(int(state.step), np.int32)
+    typed_key = jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
     arrays["key"] = np.asarray(jax.device_get(
-        jax.random.key_data(state.key)
-        if jnp.issubdtype(state.key.dtype, jax.dtypes.prng_key)
-        else state.key))
+        jax.random.key_data(state.key) if typed_key else state.key))
 
     path = os.path.join(directory, f"{prefix}-{step}.npz")
-    with open(path, "wb") as f:
-        np.savez(f, **arrays)
     meta = {"step": step, "loader_state": loader_state,
-            "num_opt_leaves": len(opt_leaves)}
-    with open(path.replace(".npz", ".json"), "w") as f:
+            "num_opt_leaves": len(opt_leaves),
+            # restore the key in the representation it was saved from
+            # (raw uint32 PRNGKey vs typed key array) — wrapping a raw
+            # key changes the TrainState aval and forces recompiles
+            "typed_key": bool(typed_key)}
+    # atomic: write to tmp names, rename the sidecar first and the .npz
+    # LAST (latest_checkpoint keys on the .npz, so a kill mid-save never
+    # exposes a truncated checkpoint or an npz without its sidecar)
+    sidecar = _sidecar(path)
+    with open(sidecar + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(sidecar + ".tmp", sidecar)
+    with open(path + ".tmp", "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(path + ".tmp", path)
 
     # prune old checkpoints beyond max_to_keep
     ckpts = sorted_checkpoints(directory, prefix)
     for old in ckpts[:-max_to_keep]:
-        for ext in (".npz", ".json"):
+        for p in (old, _sidecar(old)):
             try:
-                os.remove(old.replace(".npz", ext))
+                os.remove(p)
             except OSError:
                 pass
     return path
@@ -165,18 +182,25 @@ def load_checkpoint(path: str, config, loader=None) -> TrainState:
             for i in range(n)]
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template.opt_state), opt_leaves)
+    meta_path = _sidecar(path)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
     if "key" in arrays:
-        key = jax.random.wrap_key_data(jnp.asarray(arrays["key"])) \
-            if arrays["key"].dtype == np.uint32 else jnp.asarray(arrays["key"])
+        # keep the saved representation: wrap to a typed key array ONLY
+        # if the state was saved from one; a raw uint32 PRNGKey (what
+        # create_train_state produces) stays raw, so the resumed
+        # TrainState matches the fresh-state aval (no recompiles, and
+        # stacked [S, 2] sweep keys stay fold_in-compatible)
+        key = jnp.asarray(arrays["key"])
+        if meta.get("typed_key"):
+            key = jax.random.wrap_key_data(key)
     else:
         key = template.key
     state = template.replace(opt_state=opt_state,
                              step=jnp.asarray(arrays["step"], jnp.int32),
                              key=key)
-    meta_path = path.replace(".npz", ".json")
-    if loader is not None and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("loader_state"):
-            loader.restore(meta["loader_state"])
+    if loader is not None and meta.get("loader_state"):
+        loader.restore(meta["loader_state"])
     return state

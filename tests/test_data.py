@@ -375,3 +375,57 @@ def test_load_sklearn_digits_real_handwriting():
                            test_set_size=2)
     out = generate_dataset(images[:50], labels[:50], cfg)
     assert len(out["common"]["images"]) > 0
+
+
+def test_loader_producer_error_propagates():
+    """A producer-thread failure must surface in the consumer's for-loop,
+    not end the epoch stream 'cleanly' (loader.py producer exception
+    forwarding)."""
+    images = np.zeros((16, 25), np.float32)
+    digits = np.zeros((16,), np.int32)
+    loader = TrainLoader((images, digits), batch_size=4, epochs=1,
+                         prefetch=2, native=False)
+
+    def boom(epoch):
+        raise RuntimeError("disk gone")
+
+    loader._perm = boom
+    with pytest.raises(RuntimeError, match="disk gone"):
+        for _ in loader:
+            pass
+
+
+def test_loader_abandoned_iterator_releases_producer():
+    """Breaking out of the batch loop must let the prefetch producer
+    thread exit (bounded put + abandoned event), not leak it blocked on a
+    full queue."""
+    import threading
+    import time
+
+    images = np.zeros((64, 25), np.float32)
+    digits = np.zeros((64,), np.int32)
+    loader = TrainLoader((images, digits), batch_size=4, epochs=100,
+                         prefetch=1, native=False)
+    before = set(threading.enumerate())
+    it = iter(loader)
+    next(it)
+    spawned = [t for t in threading.enumerate() if t not in before]
+    assert spawned, "prefetch producer thread expected"
+    it.close()  # triggers the iterator's finally -> abandoned.set()
+    deadline = time.time() + 10
+    for t in spawned:
+        t.join(timeout=max(0.0, deadline - time.time()))
+    assert all(not t.is_alive() for t in spawned)
+
+
+def test_loader_backend_mismatch_warns():
+    """Resuming under a different permutation backend than the checkpoint
+    was written under replays a different data order — must warn."""
+    images = np.zeros((16, 25), np.float32)
+    digits = np.zeros((16,), np.int32)
+    loader = TrainLoader((images, digits), batch_size=4, native=False)
+    st = loader.state()
+    assert st["perm_backend"] == "numpy"
+    st["perm_backend"] = "native"
+    with pytest.warns(UserWarning, match="permutation backend"):
+        loader.restore(st)

@@ -190,3 +190,28 @@ def test_packed_infer_matches_infer_batch(frames):
     np.testing.assert_allclose(np.asarray(losses),
                                np.asarray(out.reconstruction_loss),
                                rtol=1e-5)
+
+
+def test_infer_batch_scalars_exclude_padding(wrapper, frames):
+    """5 frames pad to bucket 8; the batch-mean scalars must be recomputed
+    over the 5 REAL rows (padding rows would otherwise dilute the loss and
+    count as free 'correct' predictions)."""
+    out = wrapper.infer_batch(np.asarray(frames).reshape(5, -1))
+    assert out.per_example_loss.shape[0] == 5
+    np.testing.assert_allclose(
+        float(out.loss), float(np.mean(out.per_example_loss)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(out.accuracy), float(np.mean(out.rec_num_digits == 0)),
+        rtol=1e-6)
+
+
+def test_wrapper_geometry_args_validated():
+    """Reference-ctor-parity canvas/window args that DISAGREE with the
+    config would silently misalign the packed columns — must raise."""
+    params = init_air_params(jax.random.PRNGKey(0), SMALL)
+    with pytest.raises(ValueError, match="canvas_size"):
+        ModelWrapper(SMALL, params, canvas_size=SMALL.canvas_size + 1)
+    with pytest.raises(ValueError, match="window_size"):
+        ModelWrapper(SMALL, params, window_size=SMALL.windows_size + 1)
+    ModelWrapper(SMALL, params, canvas_size=SMALL.canvas_size,
+                 window_size=SMALL.windows_size)

@@ -498,3 +498,45 @@ def test_eval_summary_step_matches_host_path():
         else:
             assert np.isclose(host[k], dev[k], rtol=1e-5, atol=1e-6), \
                 (k, host[k], dev[k])
+
+
+def test_checkpoint_atomic_writes_and_sidecar_path(tmp_path):
+    """save_checkpoint must leave no .tmp residue, must compute the .json
+    sidecar with splitext (a '.npz' substring in the DIRECTORY name must
+    not be rewritten), and a kill between sidecar and npz must never
+    expose an npz without its sidecar (sidecar lands first)."""
+    d = tmp_path / "runs.npz.backup"
+    d.mkdir()
+    state = create_train_state(SMALL, rng=0)
+    path = save_checkpoint(str(d), state, step=0,
+                           loader_state={"epoch": 2, "index": 8, "seed": 7})
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    sidecar = os.path.splitext(path)[0] + ".json"
+    assert os.path.exists(sidecar)
+
+    class Rec:
+        def restore(self, st):
+            self.st = st
+    loader = Rec()
+    load_checkpoint(path, SMALL, loader=loader)
+    assert loader.st == {"epoch": 2, "index": 8, "seed": 7}
+
+
+def test_checkpoint_preserves_key_representation(tmp_path):
+    """The PRNG key must round-trip in the representation it was saved
+    from: raw uint32 stays raw (fresh-state aval parity, no recompiles),
+    a typed key array comes back typed."""
+    state = create_train_state(SMALL, rng=0)
+    p1 = save_checkpoint(str(tmp_path / "raw"), state, step=0)
+    r1 = load_checkpoint(p1, SMALL)
+    assert r1.key.dtype == state.key.dtype
+    assert r1.key.shape == state.key.shape
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(r1.key)),
+                                  np.asarray(jax.random.key_data(state.key)))
+
+    typed = state.replace(key=jax.random.wrap_key_data(state.key))
+    p2 = save_checkpoint(str(tmp_path / "typed"), typed, step=0)
+    r2 = load_checkpoint(p2, SMALL)
+    assert jnp.issubdtype(r2.key.dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(r2.key)),
+                                  np.asarray(jax.random.key_data(typed.key)))
