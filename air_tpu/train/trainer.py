@@ -77,6 +77,12 @@ class TrainerConfig:
     # stall+checkpoint+crash case has not warranted extending the
     # checkpoint format).
     restart_schedule_rotation: tuple = ()
+    # Stride for attempt_seed: the n-th restart trains at
+    # seed + stride * n. Restart seeds are DERIVED, so two rescue runs of
+    # the same base seed retry the exact same attempt sequence; a rescue
+    # campaign that has exhausted one sequence can pass a different stride
+    # to explore fresh (init, data-order) attempts (RESULTS.md seed-8).
+    attempt_seed_stride: int = 1009
     # When the restart budget is exhausted and the run stalls AGAIN, stop
     # early (report the stalled accuracy) instead of burning the remaining
     # max_iterations on a provably dead attempt.
@@ -196,10 +202,10 @@ def cadence_hit(step: int, every) -> bool:
     return bool(every) and every > 0 and step % every == 0
 
 
-def attempt_seed(base_seed: int, attempt: int) -> int:
+def attempt_seed(base_seed: int, attempt: int, stride: int = 1009) -> int:
     """Derived seed for the n-th auto-restart attempt (params AND data
     order — the stall basin is partly data-order-driven, RESULTS.md)."""
-    return base_seed + 1009 * attempt
+    return base_seed + stride * attempt
 
 
 def prepare_results_folder(cfg: TrainerConfig) -> str:
@@ -394,7 +400,8 @@ class Trainer:
                 annealing_schedules=sched)
             print(f"[restart] schedule variant {restarts % len(rotation)}: "
                   f"{sorted(overlay)}")
-        new_seed = attempt_seed(tcfg.seed, restarts + 1)
+        new_seed = attempt_seed(tcfg.seed, restarts + 1,
+                                tcfg.attempt_seed_stride)
         # durable record of the recovery event (stdout is often swallowed
         # by wrappers): attempt index, the accuracy it died at, and which
         # schedule variant the next attempt runs

@@ -41,6 +41,11 @@ def main():
                    help="rotate the bootstrap schedule across restart "
                         "attempts (DEFAULT_RESTART_ROTATION)")
     p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("--attempt-stride", type=int, default=1009,
+                   help="attempt_seed stride: restart n trains at seed + "
+                        "stride*n. A rescue campaign that exhausted the "
+                        "default sequence can pass a different stride to "
+                        "explore fresh (init, data-order) attempts")
     p.add_argument("--cnn", action="store_true",
                    help="train with the CNN encoder (the reference "
                         "CONSTRUCTOR default, air/air_model.py:17; its "
@@ -99,6 +104,7 @@ def main():
         source_snapshot=False, device_data=True, multi_step=50,
         stall_detect_step=args.stall_restart or None,
         max_restarts=args.max_restarts,
+        attempt_seed_stride=args.attempt_stride,
         restart_schedule_rotation=(
             DEFAULT_RESTART_ROTATION if args.rotate else ()))
 
