@@ -48,8 +48,12 @@ def _flatten(tree, prefix=""):
 
 def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
                     loader_state: dict | None = None,
-                    max_to_keep: int = 10000, prefix: str = "air-model"):
+                    max_to_keep: int = 10000, prefix: str = "air-model",
+                    recovery: dict | None = None):
     """Write ``<directory>/<prefix>-<step>.npz`` (+ .json metadata).
+    ``recovery``: stall auto-recovery bookkeeping (attempt index, active
+    schedule variant, eval history) persisted in the sidecar so a process
+    killed mid-rescue resumes the same attempt (trainer.recovery_meta).
     Returns the checkpoint path."""
     os.makedirs(directory, exist_ok=True)
     if step is None:
@@ -80,6 +84,8 @@ def save_checkpoint(directory: str, state: TrainState, step: int | None = None,
             # (raw uint32 PRNGKey vs typed key array) — wrapping a raw
             # key changes the TrainState aval and forces recompiles
             "typed_key": bool(typed_key)}
+    if recovery is not None:
+        meta["recovery"] = recovery
     # atomic: write to tmp names, rename the sidecar first and the .npz
     # LAST (latest_checkpoint keys on the .npz, so a kill mid-save never
     # exposes a truncated checkpoint or an npz without its sidecar)
@@ -163,6 +169,16 @@ def checkpoint_arch(path: str) -> dict:
     }
 
 
+def checkpoint_meta(path: str) -> dict:
+    """The sidecar JSON metadata of a checkpoint ({} if absent) — incl.
+    the ``recovery`` bookkeeping persisted by the trainer."""
+    meta_path = _sidecar(path)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 def load_checkpoint(path: str, config, loader=None) -> TrainState:
     """Rebuild a TrainState from a checkpoint file. ``config`` recreates the
     optimizer structure; ``loader`` (optional) is restored in place."""
@@ -182,11 +198,7 @@ def load_checkpoint(path: str, config, loader=None) -> TrainState:
             for i in range(n)]
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template.opt_state), opt_leaves)
-    meta_path = _sidecar(path)
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    meta = checkpoint_meta(path)
     if "key" in arrays:
         # keep the saved representation: wrap to a typed key array ONLY
         # if the state was saved from one; a raw uint32 PRNGKey (what

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from air_tpu.models.config import AIRConfig
 from air_tpu.train.state import TrainState, create_train_state
-from air_tpu.train.steps import make_train_step, make_eval_step
+from air_tpu.train.steps import make_train_step
 
 
 def create_multi_seed_state(config: AIRConfig, seeds) -> TrainState:
@@ -200,33 +200,52 @@ def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
-def make_multi_seed_eval(config: AIRConfig):
-    """Jitted per-replica eval: ``(params_S, images, digits, key, step) ->
-    (accuracy[S], loss[S])`` over one test batch (chunk outside)."""
-    eval_step = make_eval_step(config, jit=False)
+def make_multi_seed_eval(config: AIRConfig, knob_schedules: bool = False):
+    """Jitted per-replica eval: ``(params_S, images, digits, key,
+    steps_S[, knobs_S]) -> (accuracy[S], loss[S])`` over one test batch
+    (chunk outside). ``steps_S`` is PER REPLICA ([S] int32): each
+    replica's annealed hyperparameters resolve at its OWN clock — a
+    restarted replica (reset clock) evaluates under the prior/temperature
+    values it actually trained with. ``knob_schedules=True`` adds a
+    trailing ``knobs_S`` argument so rotated replicas also use their own
+    schedule variant (see :func:`rotation_knobs`)."""
+    from air_tpu.models.air import air_forward
+    from air_tpu.ops.schedules import resolve_annealed
+    base = config.schedules
 
-    def one(params, images, digits, key, step):
-        out = eval_step(params, images, digits, key, step)
+    def one(params, images, digits, key, step, knobs=None):
+        sched = base if knobs is None else schedules_from_knobs(base, knobs)
+        hp = resolve_annealed(sched, config.annealable_defaults(), step)
+        out = air_forward(params, config, images, digits, key,
+                          train=False, hparams=hp)
         return out.accuracy, jnp.mean(out.per_example_loss)
 
-    return jax.jit(jax.vmap(one, in_axes=(0, None, None, None, None)))
+    if knob_schedules:
+        return jax.jit(jax.vmap(one, in_axes=(0, None, None, None, 0, 0)))
+    return jax.jit(jax.vmap(one, in_axes=(0, None, None, None, 0)))
 
 
 def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
-                      key, step, batch_size: int = 500,
-                      eval_fn=None):
+                      key, step=None, batch_size: int = 500,
+                      eval_fn=None, knobs_S=None):
     """Full-test-set accuracy/loss per replica, chunked to bound memory.
     Returns (accuracy[S], loss[S]) numpy arrays.
 
-    Caveat: annealed hyperparameters are resolved at the single shared
-    ``step`` from the BASE schedules — for a restarted replica (reset
-    clock) or a knob-rotated one, ``loss[S]`` is computed under slightly
-    different prior/temperature values than it trained with. Accuracy is
-    unaffected (eval rounds z_pres, and sigmoid(x/T) >= 0.5 is
-    T-invariant)."""
+    Annealed hyperparameters resolve PER REPLICA: at each replica's own
+    ``state.step`` clock (``step=None``, the default — restarted replicas
+    have reset clocks) or at a shared ``step`` if given, and from the
+    replica's own ``knobs_S`` schedule variant when provided (rotated
+    replicas). Accuracy is knob-invariant either way (eval rounds z_pres,
+    and sigmoid(x/T) >= 0.5 is T-invariant); loss[S] is now computed under
+    the values each replica trained with, so cross-replica loss
+    comparisons are honest."""
     import numpy as np
     if eval_fn is None:
-        eval_fn = make_multi_seed_eval(config)
+        eval_fn = make_multi_seed_eval(config,
+                                       knob_schedules=knobs_S is not None)
+    steps_S = (state.step if step is None
+               else jnp.full_like(state.step, int(step)))
+    extra = () if knobs_S is None else (knobs_S,)
     n = len(images)
     accs, losses, weights = [], [], []
     for lo in range(0, n, batch_size):
@@ -235,7 +254,7 @@ def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
         # the tail chunk has its own (smaller) static shape — at most one
         # extra compile, and no test example is silently dropped
         acc, loss = eval_fn(state.params, chunk_images, chunk_digits,
-                            key, jnp.asarray(step, jnp.int32))
+                            key, jnp.asarray(steps_S, jnp.int32), *extra)
         accs.append(np.asarray(acc))
         losses.append(np.asarray(loss))
         weights.append(len(chunk_images))

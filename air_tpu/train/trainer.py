@@ -29,7 +29,7 @@ from air_tpu.models.config import AIRConfig
 from air_tpu.train.state import create_train_state
 from air_tpu.train.steps import make_train_step, make_eval_step
 from air_tpu.train.checkpoint import (
-    save_checkpoint, load_checkpoint, latest_checkpoint)
+    save_checkpoint, load_checkpoint, latest_checkpoint, checkpoint_meta)
 from air_tpu.train.metrics import MetricsWriter, summarize_outputs
 from air_tpu.train.visualize import visualize_reconstructions, save_grid_png
 from air_tpu.data.loader import TrainLoader
@@ -70,12 +70,11 @@ class TrainerConfig:
     # the reference schedule rescues slow-convergers the hold traps), so
     # re-seeding alone under-uses the restart budget. Empty = re-seed only.
     # Evaluation always runs at the BASE config (comparable accuracy).
-    # Known limitation: checkpoint resume restores params/step/data-order
-    # but NOT the recovery bookkeeping — a process killed mid-rescue
-    # resumes the attempt on the BASE schedule with a fresh restart
-    # budget (sweep ledgers track attempts per process; the compound
-    # stall+checkpoint+crash case has not warranted extending the
-    # checkpoint format).
+    # Recovery bookkeeping (attempt index, active schedule variant, eval
+    # history) is persisted in the checkpoint sidecar JSON, so a process
+    # killed mid-rescue resumes the SAME attempt: rotated schedule,
+    # remaining restart budget, and stall history all restored
+    # (tests/test_train.py::test_resume_mid_rescue).
     restart_schedule_rotation: tuple = ()
     # Stride for attempt_seed: the n-th restart trains at
     # seed + stride * n. Restart seeds are DERIVED, so two rescue runs of
@@ -87,6 +86,13 @@ class TrainerConfig:
     # early (report the stalled accuracy) instead of burning the remaining
     # max_iterations on a provably dead attempt.
     stop_on_exhausted_restarts: bool = True
+
+    def __post_init__(self):
+        # stride 0 would make every auto-restart reuse the base seed,
+        # silently burning the whole restart budget on identical attempts
+        if self.attempt_seed_stride == 0:
+            raise ValueError("attempt_seed_stride must be nonzero (0 would "
+                             "retry the identical attempt every restart)")
     num_summaries_every: int = 50            # reference training.py:20
     var_summaries_every: int = 250           # reference training.py:21
     img_summaries_every: int = 500           # reference training.py:22
@@ -176,6 +182,17 @@ def is_stalled(history, step: int, acc: float, detect_step,
     than ``min_progress`` over the last ``window`` steps of ``history``
     ([(step, acc), ...] for the CURRENT attempt).
 
+    Progress over the window is estimated TWO ways, and either spares:
+      1. point-to-point: ``acc`` minus the last eval at/before
+         ``step - window``;
+      2. a least-squares slope fit over ALL evals in the window, scaled
+         to the window length.
+    The point estimate alone misfires on gradual-progress regimes: one
+    noisy eval dip at the measurement instant reads as "flat" even on a
+    monotonic climb (the round-3 bg-1.0 run's rotation fired 3 times on
+    slow-but-steady progress, RESULTS.md). The regression slope uses
+    every eval in the window and is robust to single-point noise.
+
     ``spare_accuracy``: a run at/above this accuracy is in the GOOD
     basin (merely converging slowly), never the degenerate-counting one
     (0.62-0.68 at the default config, RESULTS.md) — declaring it stalled
@@ -192,6 +209,20 @@ def is_stalled(history, step: int, acc: float, detect_step,
             return False                 # not enough history yet
         if acc - past[-1] >= min_progress:
             return False                 # still climbing — not stalled
+        # regression slope over the window (include the current point in
+        # case the caller's history snapshot does not already carry it)
+        pts = [(s, a) for s, a in history if s >= step - window]
+        if not pts or pts[-1][0] != step:
+            pts.append((step, acc))
+        if len(pts) >= 3:
+            xs = np.asarray([s for s, _ in pts], np.float64)
+            ys = np.asarray([a for _, a in pts], np.float64)
+            xs -= xs.mean()
+            denom = float((xs * xs).sum())
+            if denom > 0:
+                slope = float((xs * (ys - ys.mean())).sum()) / denom
+                if slope * window >= min_progress:
+                    return False         # climbing through the noise
     return True
 
 
@@ -204,7 +235,11 @@ def cadence_hit(step: int, every) -> bool:
 
 def attempt_seed(base_seed: int, attempt: int, stride: int = 1009) -> int:
     """Derived seed for the n-th auto-restart attempt (params AND data
-    order — the stall basin is partly data-order-driven, RESULTS.md)."""
+    order — the stall basin is partly data-order-driven, RESULTS.md).
+    ``stride`` must be nonzero: stride 0 would retry the identical
+    attempt every restart, burning the budget on replays."""
+    if stride == 0:
+        raise ValueError("attempt_seed stride must be nonzero")
     return base_seed + stride * attempt
 
 
@@ -313,26 +348,17 @@ class Trainer:
             else:
                 self._bg_init = np.asarray(bg_cfg, np.float32).reshape(-1)
 
-        bg_kw = {"bg_image": trainer_config.bg_image,
-                 "bg_schedule": trainer_config.bg_schedule}
-        if self.mesh is not None:
-            from air_tpu.parallel.train_parallel import (
-                make_parallel_train_step, shard_batch)
-            self.train_step = make_parallel_train_step(self.config, self.mesh,
-                                                       **bg_kw)
-            self.train_step_gs = make_parallel_train_step(
-                self.config, self.mesh, donate=False, with_grad_stats=True,
-                **bg_kw)
-            self._shard = lambda im, tg: shard_batch(self.mesh, im, tg)
-        else:
-            self.train_step = make_train_step(self.config, **bg_kw)
-            self.train_step_gs = make_train_step(self.config,
-                                                 with_grad_stats=True,
-                                                 donate=False, **bg_kw)
-            self._shard = None
+        self._bg_kw = {"bg_image": trainer_config.bg_image,
+                       "bg_schedule": trainer_config.bg_schedule}
+        self._build_train_steps()
         self.eval_step = make_eval_step(self.config)
         self.metrics = MetricsWriter(self.summary_dir,
                                      tensorboard=trainer_config.tensorboard)
+
+        # -- stall auto-recovery bookkeeping (persisted in checkpoints) --
+        self.restarts = 0            # auto-restarts consumed so far
+        self._variant = -1           # rotation index of the ACTIVE attempt
+        self._eval_history = []      # [(step, acc)] of the current attempt
 
         self.state = create_train_state(self.config, rng=trainer_config.seed,
                                         background_init=self._bg_init)
@@ -341,23 +367,81 @@ class Trainer:
             if ckpt:
                 self.state = load_checkpoint(ckpt, self.config, self.loader)
                 print(f"resumed from {ckpt} at step {int(self.state.step)}")
+                rec = checkpoint_meta(ckpt).get("recovery")
+                if rec:
+                    # resume the SAME rescue attempt: restart budget, eval
+                    # history (the stall slope window), and the rotated
+                    # schedule the attempt was training under
+                    self.restarts = int(rec.get("restarts", 0))
+                    self._eval_history = [tuple(p) for p in
+                                          rec.get("eval_history", [])]
+                    variant = int(rec.get("variant", -1))
+                    if variant >= 0 and trainer_config \
+                            .restart_schedule_rotation:
+                        self._apply_rotation_variant(variant)
+                        self._build_train_steps()
+                    print(f"resumed recovery state: restarts="
+                          f"{self.restarts} variant={self._variant}")
         if self.mesh is not None:
             from air_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.mesh, self.state)
 
+    def _build_train_steps(self):
+        """(Re)build the jitted train steps from ``self.train_config`` —
+        called at init and whenever a restart rotates the schedule."""
+        bg_kw = self._bg_kw
+        if self.mesh is not None:
+            from air_tpu.parallel.train_parallel import (
+                make_parallel_train_step, shard_batch)
+            self.train_step = make_parallel_train_step(
+                self.train_config, self.mesh, **bg_kw)
+            self.train_step_gs = make_parallel_train_step(
+                self.train_config, self.mesh, donate=False,
+                with_grad_stats=True, **bg_kw)
+            self._shard = lambda im, tg: shard_batch(self.mesh, im, tg)
+        else:
+            self.train_step = make_train_step(self.train_config, **bg_kw)
+            self.train_step_gs = make_train_step(self.train_config,
+                                                 with_grad_stats=True,
+                                                 donate=False, **bg_kw)
+            self._shard = None
+
+    def _apply_rotation_variant(self, variant: int):
+        """Overlay rotation variant ``variant`` onto the BASE annealing
+        schedules, producing the active ``self.train_config``."""
+        rotation = self.tcfg.restart_schedule_rotation
+        overlay = rotation[variant % len(rotation)]
+        sched = self.config.schedules        # thawed plain dict
+        for name, spec in overlay.items():
+            if spec is None:
+                sched.pop(name, None)
+            else:
+                sched[name] = spec
+        self.train_config = self.config.replace(annealing_schedules=sched)
+        self._variant = variant % len(rotation)
+
+    def recovery_meta(self) -> dict | None:
+        """Recovery bookkeeping for the checkpoint sidecar (None when the
+        run has never restarted and detection is off — keeps sidecars
+        clean for plain runs)."""
+        if self.restarts == 0 and not self.tcfg.stall_detect_step:
+            return None
+        return {"restarts": self.restarts, "variant": self._variant,
+                "eval_history": [[int(s), float(a)]
+                                 for s, a in self._eval_history]}
+
     # -- stall detection / auto-recovery ---------------------------------------
-    def _maybe_restart_on_stall(self, step: int, acc: float,
-                                restarts: int) -> str | None:
+    def _maybe_restart_on_stall(self, step: int, acc: float) -> str | None:
         """``"restart"`` -> the run was declared stalled and state/loader
         were reset to a fresh re-seeded attempt (annealing clock restarts
-        with state.step = 0; schedule rotated if configured).
-        ``"giveup"`` -> stalled again with the restart budget exhausted
-        (stop_on_exhausted_restarts). ``None`` -> keep training."""
+        with state.step = 0; schedule rotated if configured;
+        ``self.restarts`` incremented). ``"giveup"`` -> stalled again with
+        the restart budget exhausted (stop_on_exhausted_restarts).
+        ``None`` -> keep training."""
         tcfg = self.tcfg
         if not tcfg.stall_detect_step:
             return None
-        if not hasattr(self, "_eval_history"):
-            self._eval_history = []
+        restarts = self.restarts
         self._eval_history.append((step, acc))
         if not is_stalled(self._eval_history, step, acc,
                           tcfg.stall_detect_step, tcfg.stall_accuracy,
@@ -389,17 +473,9 @@ class Trainer:
         # rebuilds its jitted train step from self.train_config
         rotation = tcfg.restart_schedule_rotation
         if rotation:
-            overlay = rotation[restarts % len(rotation)]
-            sched = self.config.schedules        # thawed plain dict
-            for name, spec in overlay.items():
-                if spec is None:
-                    sched.pop(name, None)
-                else:
-                    sched[name] = spec
-            self.train_config = self.config.replace(
-                annealing_schedules=sched)
-            print(f"[restart] schedule variant {restarts % len(rotation)}: "
-                  f"{sorted(overlay)}")
+            self._apply_rotation_variant(restarts)
+            print(f"[restart] schedule variant {self._variant}: "
+                  f"{sorted(rotation[self._variant])}")
         new_seed = attempt_seed(tcfg.seed, restarts + 1,
                                 tcfg.attempt_seed_stride)
         # durable record of the recovery event (stdout is often swallowed
@@ -422,6 +498,7 @@ class Trainer:
         # every re-seeded attempt)
         self.loader.reseed(new_seed)
         self._eval_history = []
+        self.restarts = restarts + 1
         return "restart"
 
     # -- summary helpers -------------------------------------------------------
@@ -559,7 +636,6 @@ class Trainer:
 
         t_start = time.time()
         images_seen = 0
-        restarts = 0
         metrics = None                       # set by the first dispatch
         last_eval = (None, None)             # (step, acc) of the last eval
         step = int(self.state.step)          # tracked host-side from here on
@@ -580,11 +656,10 @@ class Trainer:
                         and acc >= tcfg.stop_at_accuracy:
                     print(f"target accuracy {tcfg.stop_at_accuracy} reached")
                     break
-                verdict = self._maybe_restart_on_stall(step, acc, restarts)
+                verdict = self._maybe_restart_on_stall(step, acc)
                 if verdict == "giveup":
                     break
                 if verdict == "restart":
-                    restarts += 1
                     step = 0
                     if tcfg.restart_schedule_rotation:
                         multi, single = build_steps(self.train_config)
@@ -592,22 +667,14 @@ class Trainer:
                         # rotated schedules too, or its logged annealed
                         # hyperparameters describe steps the model never
                         # takes (review r3)
-                        if self.mesh is not None:
-                            from air_tpu.parallel.train_parallel import (
-                                make_parallel_train_step)
-                            self.train_step_gs = make_parallel_train_step(
-                                self.train_config, self.mesh, donate=False,
-                                with_grad_stats=True, **bg_kw)
-                        else:
-                            self.train_step_gs = make_train_step(
-                                self.train_config, with_grad_stats=True,
-                                donate=False, **bg_kw)
+                        self._build_train_steps()
                     continue
                 if cadence_hit(step, tcfg.var_summaries_every):
                     self._write_var_summaries(step)
             if cadence_hit(step, tcfg.save_params_every):
                 save_checkpoint(self.models_dir, self.state, step,
-                                loader_state=self.loader.state())
+                                loader_state=self.loader.state(),
+                                recovery=self.recovery_meta())
             if cadence_hit(step, tcfg.grad_summaries_every):
                 # one instrumented single step on the next batch (the fused
                 # multi-step cannot expose per-variable grads)
@@ -648,13 +715,14 @@ class Trainer:
         else:
             acc = self.write_eval_summaries(final_step, with_images=True)
         save_checkpoint(self.models_dir, self.state, final_step,
-                        loader_state=self.loader.state())
+                        loader_state=self.loader.state(),
+                        recovery=self.recovery_meta())
         wall = time.time() - t_start
         ips = images_seen / wall if wall > 0 else 0.0
         print(f"training has ended: step {final_step}, "
               f"test accuracy {acc:.4f}, {ips:.0f} images/sec")
         return {"step": final_step, "test_accuracy": acc,
-                "images_per_sec": ips, "restarts": restarts}
+                "images_per_sec": ips, "restarts": self.restarts}
 
     # -- main loop -------------------------------------------------------------
     def train(self):
@@ -688,7 +756,8 @@ class Trainer:
 
             if cadence_hit(step, tcfg.save_params_every):
                 save_checkpoint(self.models_dir, self.state, step,
-                                loader_state=loader_state_snapshot)
+                                loader_state=loader_state_snapshot,
+                                recovery=self.recovery_meta())
 
             if cadence_hit(step, tcfg.grad_summaries_every):
                 self.state, metrics = self.train_step_gs(

@@ -108,6 +108,16 @@ def main():
         restart_schedule_rotation=(
             DEFAULT_RESTART_ROTATION if args.rotate else ()))
 
+    # in-flight marker at campaign start: a round cut / crash leaves a
+    # visible ledger row instead of silently vanishing (summarize_sweep
+    # drops it once the real result row lands)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "results.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "seed": args.seed, "tag": tag, "in_flight": True,
+            "final_step": 0, "test_accuracy": 0.0, "converged": False,
+            "restarts": 0, "wall_minutes": 0.0}) + "\n")
+
     test = load_test_data(os.path.join(args.data, "test.airrec"))
     t0 = time.time()
     trainer = Trainer(cfg, tcfg, os.path.join(args.data, "common.airrec"),
@@ -121,7 +131,6 @@ def main():
         "restarts": result.get("restarts", 0),
         "wall_minutes": round((time.time() - t0) / 60, 1),
     }
-    os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
     print("SWEEPRESULT " + json.dumps(rec))

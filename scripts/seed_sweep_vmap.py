@@ -50,6 +50,12 @@ def main():
                         "model for a fresh init is strictly worse "
                         "(observed r3: seed 3 restarted at 0.9+); 0 = off")
     p.add_argument("--max-restarts", type=int, default=3)
+    p.add_argument("--attempt-stride", type=int, default=1009,
+                   help="attempt_seed stride: restart n of a replica "
+                        "trains at seed + stride*n (nonzero). A rescue "
+                        "campaign that exhausted the default attempt "
+                        "sequence can pass a different stride to explore "
+                        "fresh (init, data-order) attempts")
     p.add_argument("--post-restart-iters", type=int, default=80000,
                    help="guarantee a re-seeded replica at least this many "
                         "further shared steps before the sweep ends (the "
@@ -139,7 +145,7 @@ def main():
     seeds = list(args.seeds)           # current data/param seed per replica
     state = create_multi_seed_state(cfg, seeds)
     multi = make_multi_seed_step(cfg, K, B, knob_schedules=bool(args.rotate))
-    eval_fn = make_multi_seed_eval(cfg)
+    eval_fn = make_multi_seed_eval(cfg, knob_schedules=bool(args.rotate))
     knobs_S = None
     if args.rotate:
         base_knobs = rotation_knobs(args.hold,
@@ -148,6 +154,17 @@ def main():
 
     print(f"seed-parallel sweep: S={S} seeds={args.seeds} batch={B} K={K} "
           f"tag={tag}")
+
+    # in-flight markers at sweep start: a round cut / crash leaves visible
+    # ledger rows instead of silently vanishing (summarize_sweep drops
+    # them once the real result rows land)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "results.jsonl"), "a") as f:
+        for sd in args.seeds:
+            f.write(json.dumps({
+                "seed": sd, "tag": tag, "in_flight": True,
+                "final_step": 0, "test_accuracy": 0.0, "converged": False,
+                "restarts": 0, "wall_minutes": 0.0}) + "\n")
 
     restarts = [0] * S
     conv_step = [None] * S             # replica-clock step at convergence
@@ -163,14 +180,36 @@ def main():
     def replica_steps():
         return np.asarray(jax.device_get(state.step))
 
+    def retry(fn, *fargs, **fkw):
+        """Run a device call, retrying transient tunnel failures (the axon
+        TPU tunnel can drop a remote_compile response mid-read — observed
+        killing a 45-min sweep at its rescue phase). Probe with a trivial
+        op after a pause; if the device (and the sweep's resident buffers)
+        survived, the retried call succeeds, else the original error
+        propagates to the crash-ledger path below."""
+        for attempt in range(4):
+            try:
+                return fn(*fargs, **fkw)
+            except jax.errors.JaxRuntimeError as e:
+                if attempt == 3:
+                    raise
+                print(f"  [retry] device call failed ({e}); probing in 60s",
+                      flush=True)
+                time.sleep(60)
+                jax.block_until_ready(
+                    jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8))))
+
     def run_eval():
         """Eval + convergence bookkeeping; True once all replicas done."""
         rsteps = replica_steps()
+        # step=None: each replica's annealed hparams resolve at its OWN
+        # clock (+ its knob variant), so loss is computed under the values
+        # it trained with even after restarts/rotation
         acc, _ = evaluate_replicas(cfg, state, test_images, test_digits,
                                    jax.random.fold_in(
                                        jax.random.PRNGKey(0x5EED), step),
-                                   step, batch_size=args.eval_batch,
-                                   eval_fn=eval_fn)
+                                   batch_size=args.eval_batch,
+                                   eval_fn=eval_fn, knobs_S=knobs_S)
         line = " ".join(f"s{sd}:{a:.3f}" for sd, a in zip(args.seeds, acc))
         print(f"[eval @ {step}] {line}", flush=True)
         for r in range(S):
@@ -187,107 +226,132 @@ def main():
                       f"step {conv_step[r]} ({acc[r]:.3f})")
         return all(c is not None for c in conv_step)
 
+    def write_rows(crashed=False):
+        """Final (or crash-time) ledger rows. On a crash the device may be
+        unreachable, so replica steps come from the eval history rather
+        than a device fetch; rows carry "crashed": true and best-so-far
+        accuracy — a died sweep still leaves quantitative evidence."""
+        wall = time.time() - t0
+        if crashed:
+            rsteps = [history[r][-1][0] if history[r] else 0
+                      for r in range(S)]
+        else:
+            rsteps = replica_steps()
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "results.jsonl"), "a") as f:
+            for r in range(S):
+                rec_out = {
+                    "seed": args.seeds[r], "tag": tag,
+                    "final_step": int(conv_step[r]
+                                      if conv_step[r] is not None
+                                      else rsteps[r]),
+                    "test_accuracy": final_acc[r],
+                    "converged": conv_step[r] is not None
+                    or final_acc[r] >= args.stop_acc,
+                    "restarts": restarts[r],
+                    # which bootstrap-schedule variant the final attempt
+                    # ran: "base" or the DEFAULT_RESTART_ROTATION index
+                    "variant": ("base" if not args.rotate
+                                or restarts[r] == 0
+                                else rotation_variant_index(restarts[r])),
+                    "wall_minutes": round(wall / 60, 1),
+                }
+                if crashed:
+                    rec_out["crashed"] = True
+                f.write(json.dumps(rec_out) + "\n")
+                print("SWEEPRESULT " + json.dumps(rec_out))
+        agg = sum(1 for r in range(S)
+                  if conv_step[r] is not None or final_acc[r] >= args.stop_acc)
+        print(f"{agg}/{S} converged in {wall / 60:.1f} min total "
+              f"({wall / 60 / S:.1f} min/seed equivalent)"
+              + (" [CRASHED]" if crashed else ""))
+
     last_eval = -1
     single_step = None                 # off-cadence 1-step program
-    while step < max_iters:
-        if step % args.eval_every == 0:
-            last_eval = step
-            if run_eval():
-                print("all replicas converged")
-                break
-            # per-replica stall recovery
-            if args.stall_restart:
-                for r in range(S):
-                    if conv_step[r] is not None or \
-                            restarts[r] >= args.max_restarts:
-                        continue
-                    rs, a = history[r][-1]
-                    # same slope-based policy as Trainer auto-recovery
-                    if not is_stalled(history[r], rs, a,
-                                      args.stall_restart,
-                                      args.stall_accuracy,
-                                      args.stall_window,
-                                      args.stall_min_progress,
-                                      args.stall_spare):
-                        continue
-                    restarts[r] += 1
-                    new_seed = attempt_seed(args.seeds[r], restarts[r])
-                    variant = ""
-                    if knobs_S is not None:
-                        vk = vmap_rotation_variant(restarts[r], args.hold)
-                        knobs_S = set_replica_knobs(knobs_S, r, vk)
-                        variant = (" variant "
-                                   f"{rotation_variant_index(restarts[r])}"
-                                   f" {vk}")
-                    print(f"  [stall] seed {args.seeds[r]} flat at {a:.3f} "
-                          f"(replica step {rs}) -> reinit with seed "
-                          f"{new_seed} (restart {restarts[r]}/"
-                          f"{args.max_restarts}){variant}")
-                    state = reinit_replica(state, cfg, r, new_seed)
-                    seeds[r] = new_seed
-                    perms = perms.at[r].set(
-                        multi_seed_perms(n, [new_seed], epoch)[0])
-                    history[r] = []
-                    max_iters = min(hard_cap,
-                                    max(max_iters,
-                                        step + args.post_restart_iters))
+    try:
+        while step < max_iters:
+            if step % args.eval_every == 0:
+                last_eval = step
+                if retry(run_eval):
+                    print("all replicas converged")
+                    break
+                # per-replica stall recovery
+                if args.stall_restart:
+                    for r in range(S):
+                        if conv_step[r] is not None or \
+                                restarts[r] >= args.max_restarts:
+                            continue
+                        rs, a = history[r][-1]
+                        # same slope-based policy as Trainer auto-recovery
+                        if not is_stalled(history[r], rs, a,
+                                          args.stall_restart,
+                                          args.stall_accuracy,
+                                          args.stall_window,
+                                          args.stall_min_progress,
+                                          args.stall_spare):
+                            continue
+                        restarts[r] += 1
+                        new_seed = attempt_seed(args.seeds[r], restarts[r],
+                                                args.attempt_stride)
+                        variant = ""
+                        if knobs_S is not None:
+                            vk = vmap_rotation_variant(restarts[r],
+                                                       args.hold)
+                            knobs_S = set_replica_knobs(knobs_S, r, vk)
+                            variant = (
+                                " variant "
+                                f"{rotation_variant_index(restarts[r])}"
+                                f" {vk}")
+                        print(f"  [stall] seed {args.seeds[r]} flat at "
+                              f"{a:.3f} (replica step {rs}) -> reinit "
+                              f"with seed {new_seed} (restart "
+                              f"{restarts[r]}/{args.max_restarts})"
+                              f"{variant}")
+                        state = retry(reinit_replica, state, cfg, r,
+                                      new_seed)
+                        seeds[r] = new_seed
+                        perms = perms.at[r].set(
+                            multi_seed_perms(n, [new_seed], epoch)[0])
+                        history[r] = []
+                        max_iters = min(hard_cap,
+                                        max(max_iters,
+                                            step + args.post_restart_iters))
 
-        remaining = batches_per_epoch - index
-        if remaining <= 0:
-            epoch += 1
-            index = 0
-            perms = multi_seed_perms(n, seeds, epoch)
-            remaining = batches_per_epoch
-        k = min(K, remaining,
-                ((step // args.eval_every) + 1) * args.eval_every - step,
-                max_iters - step)
-        extra = () if knobs_S is None else (knobs_S,)
-        if k == K:
-            state, _ = multi(state, images, digits, perms,
-                             jnp.asarray(index, jnp.int32), *extra)
-            index += K
-            step += K
-        else:
-            # off-cadence remainder: run single steps
-            if single_step is None:
-                single_step = make_multi_seed_step(
-                    cfg, 1, B, knob_schedules=knobs_S is not None)
-            for _ in range(k):
-                state, _ = single_step(state, images, digits, perms,
-                                       jnp.asarray(index, jnp.int32), *extra)
-                index += 1
-                step += 1
+            remaining = batches_per_epoch - index
+            if remaining <= 0:
+                epoch += 1
+                index = 0
+                perms = multi_seed_perms(n, seeds, epoch)
+                remaining = batches_per_epoch
+            k = min(K, remaining,
+                    ((step // args.eval_every) + 1) * args.eval_every - step,
+                    max_iters - step)
+            extra = () if knobs_S is None else (knobs_S,)
+            if k == K:
+                state, _ = retry(multi, state, images, digits, perms,
+                                 jnp.asarray(index, jnp.int32), *extra)
+                index += K
+                step += K
+            else:
+                # off-cadence remainder: run single steps
+                if single_step is None:
+                    single_step = make_multi_seed_step(
+                        cfg, 1, B, knob_schedules=knobs_S is not None)
+                for _ in range(k):
+                    state, _ = retry(single_step, state, images, digits,
+                                     perms, jnp.asarray(index, jnp.int32),
+                                     *extra)
+                    index += 1
+                    step += 1
 
-    if last_eval != step and not all(c is not None for c in conv_step):
-        # the loop exited at max_iters up to eval_every-1 steps after the
-        # last eval: refresh the ledger's accuracy at the true final step
-        run_eval()
-
-    wall = time.time() - t0
-    rsteps = replica_steps()
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "results.jsonl"), "a") as f:
-        for r in range(S):
-            rec_out = {
-                "seed": args.seeds[r], "tag": tag,
-                "final_step": int(conv_step[r] if conv_step[r] is not None
-                                  else rsteps[r]),
-                "test_accuracy": final_acc[r],
-                "converged": conv_step[r] is not None
-                or final_acc[r] >= args.stop_acc,
-                "restarts": restarts[r],
-                # which bootstrap-schedule variant the final attempt ran:
-                # "base" or the DEFAULT_RESTART_ROTATION index
-                "variant": ("base" if not args.rotate or restarts[r] == 0
-                            else rotation_variant_index(restarts[r])),
-                "wall_minutes": round(wall / 60, 1),
-            }
-            f.write(json.dumps(rec_out) + "\n")
-            print("SWEEPRESULT " + json.dumps(rec_out))
-    agg = sum(1 for r in range(S)
-              if conv_step[r] is not None or final_acc[r] >= args.stop_acc)
-    print(f"{agg}/{S} converged in {wall / 60:.1f} min total "
-          f"({wall / 60 / S:.1f} min/seed equivalent)")
+        if last_eval != step and not all(c is not None for c in conv_step):
+            # the loop exited at max_iters up to eval_every-1 steps after
+            # the last eval: refresh the accuracy at the true final step
+            run_eval()
+    except BaseException:
+        write_rows(crashed=True)
+        raise
+    write_rows()
 
 
 if __name__ == "__main__":

@@ -37,6 +37,16 @@ def main():
         for r in load(arg):
             key = (r["seed"],) if union else (r["seed"], r["tag"])
             prev = rows.get(key)
+            # in-flight markers (written at campaign start so round cuts
+            # are visible) never supersede a real result, and any real
+            # result supersedes them
+            if prev is not None and r.get("in_flight") \
+                    and not prev.get("in_flight"):
+                continue
+            if prev is not None and prev.get("in_flight") \
+                    and not r.get("in_flight"):
+                rows[key] = r
+                continue
             # single ledger: later entries (re-runs) supersede; union:
             # keep the best attempt (converged beats not, then accuracy)
             if prev is None or not union or (
@@ -48,9 +58,10 @@ def main():
     print(f"{'seed':>4} {'tag':<26} {'steps':>8} {'acc':>6} "
           f"{'restarts':>8} {'min':>6}")
     for r in rows:
+        flag = "  [in flight at cut]" if r.get("in_flight") else ""
         print(f"{r['seed']:>4} {r['tag']:<26} {r['final_step']:>8} "
               f"{r['test_accuracy']:>6.3f} {r['restarts']:>8} "
-              f"{r['wall_minutes']:>6.1f}")
+              f"{r['wall_minutes']:>6.1f}{flag}")
     print(f"\nconverged: {n_conv}/{len(rows)}  "
           f"(threshold: per-run stop_acc, default 0.98)")
 

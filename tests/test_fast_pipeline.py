@@ -310,17 +310,20 @@ def test_stall_slope_detection(tmp_path):
 
     # flat trajectory at 0.63 -> restart fires once history spans the window
     for step, acc in [(40000, 0.630), (50000, 0.632), (60000, 0.633)]:
-        fired = tr._maybe_restart_on_stall(step, acc, restarts=0)
+        fired = tr._maybe_restart_on_stall(step, acc)
     assert fired == "restart"
+    assert tr.restarts == 1              # restart budget consumed
     assert not tr._eval_history          # history reset for the new attempt
 
     # climbing trajectory through the same level -> never restarts
     for step, acc in [(40000, 0.644), (50000, 0.655), (60000, 0.663),
                       (70000, 0.690), (80000, 0.713)]:
-        assert tr._maybe_restart_on_stall(step, acc, restarts=1) is None
+        assert tr._maybe_restart_on_stall(step, acc) is None
+    assert tr.restarts == 1
 
     # restarts exhausted + still flat -> early give-up signal
     tr._eval_history = []
+    tr.restarts = 3
     for step, acc in [(40000, 0.63), (60000, 0.63)]:
-        verdict = tr._maybe_restart_on_stall(step, acc, restarts=3)
+        verdict = tr._maybe_restart_on_stall(step, acc)
     assert verdict == "giveup"

@@ -193,3 +193,60 @@ def test_evaluate_replicas_small_test_set_and_tail():
     # same examples either way (eval noise is drawn per batch POSITION, so
     # exact equality is not expected across chunkings — only sanity)
     assert np.all(np.isfinite(acc_tail)) and np.all(acc_tail <= 1.0)
+
+
+def test_evaluate_replicas_per_replica_clock_and_knobs():
+    """Each replica's annealed hyperparameters must resolve at its OWN
+    step clock and knob variant (VERDICT r3 weak #5): a replica whose
+    clock sits mid-anneal gets the same loss as a single-model eval at
+    that step, not at the shared wall clock."""
+    from air_tpu.ops.schedules import resolve_annealed
+    from air_tpu.models.air import air_forward
+    from air_tpu.train.multi_seed import (
+        rotation_knobs, stack_knobs, make_multi_seed_eval)
+
+    cfg = SMALL.replace(annealing_schedules={
+        "z_pres_prior_log_odds": {"init": 1000.0, "min": 1e-9,
+                                  "factor": 0.1, "iters": 10, "log": True}})
+    images, digits = _data()
+    state_S = create_multi_seed_state(cfg, SEEDS)
+    # replica clocks diverge (e.g. one restarted): [0, 25]
+    state_S = state_S.replace(step=jnp.asarray([0, 25], jnp.int32))
+    key = jax.random.PRNGKey(0)
+
+    acc, loss = evaluate_replicas(cfg, state_S, np.asarray(images),
+                                  np.asarray(digits), key, batch_size=500)
+
+    # oracle: single-model eval with hparams resolved at each OWN clock
+    def one(params, step):
+        hp = resolve_annealed(cfg.schedules, cfg.annealable_defaults(),
+                              jnp.asarray(step, jnp.int32))
+        out = air_forward(params, cfg, jnp.asarray(images),
+                          jnp.asarray(digits), key, train=False, hparams=hp)
+        return float(out.accuracy), float(jnp.mean(out.per_example_loss))
+
+    for r, own_step in enumerate((0, 25)):
+        params_r = jax.tree_util.tree_map(lambda x: x[r], state_S.params)
+        acc_r, loss_r = one(params_r, own_step)
+        np.testing.assert_allclose(loss[r], loss_r, rtol=1e-5)
+        np.testing.assert_allclose(acc[r], acc_r, rtol=1e-6)
+    # and the clocks genuinely matter: the mid-anneal replica's loss
+    # differs from what the shared step-0 clock would report
+    _, loss_shared = evaluate_replicas(cfg, state_S, np.asarray(images),
+                                       np.asarray(digits), key, step=0,
+                                       batch_size=500)
+    assert abs(loss[1] - loss_shared[1]) > 1e-6
+
+    # knob variants: replica 1 on a long-hold variant — its prior
+    # log-odds at step 25 is still at init (hold 50 > 25) instead of
+    # fully annealed, so the z_pres KL (and loss) differs; accuracy is
+    # knob-invariant (eval rounds z_pres)
+    knobs_S = stack_knobs([rotation_knobs(0.0),
+                           rotation_knobs(50.0)])
+    eval_k = make_multi_seed_eval(cfg, knob_schedules=True)
+    acc_k, loss_k = evaluate_replicas(cfg, state_S, np.asarray(images),
+                                      np.asarray(digits), key,
+                                      batch_size=500, eval_fn=eval_k,
+                                      knobs_S=knobs_S)
+    np.testing.assert_allclose(acc_k, acc, rtol=1e-6)
+    assert abs(loss_k[1] - loss[1]) > 1e-6

@@ -540,3 +540,86 @@ def test_checkpoint_preserves_key_representation(tmp_path):
     assert jnp.issubdtype(r2.key.dtype, jax.dtypes.prng_key)
     np.testing.assert_array_equal(np.asarray(jax.random.key_data(r2.key)),
                                   np.asarray(jax.random.key_data(typed.key)))
+
+
+def test_is_stalled_slope_spares_noisy_climb():
+    """Gradual-progress regimes (the r3 bg-1.0 misfire): a climb of
+    0.02/window with single-eval noise can read as flat at the point
+    estimate (acc vs one eval >= window ago); the regression slope over
+    ALL window evals must spare it. A noise-free flat run at the same
+    density is still caught."""
+    from air_tpu.train.trainer import is_stalled
+    window, cadence, step = 20000, 2500, 60000
+    slope = 1e-6                           # 0.02 per 20k-step window
+    hist = [(s, 0.40 + slope * s) for s in range(0, step + 1, cadence)]
+    # noise: the anchor eval (step-window) reads high, the current low —
+    # the point estimate collapses to 0.008 < min_progress
+    hist = [(s, a + (0.006 if s == step - window else 0.0)) for s, a in hist]
+    s_last, a_last = hist[-1]
+    hist[-1] = (s_last, a_last - 0.006)
+    acc = hist[-1][1]
+    anchor = [a for s, a in hist if s <= step - window][-1]
+    assert acc - anchor < 0.01             # the point estimate DOES fail
+    assert not is_stalled(hist, step, acc, 30000, 0.95, window, 0.01)
+    # same eval density, genuinely flat -> still stalled
+    flat = [(s, 0.63) for s in range(0, step + 1, cadence)]
+    assert is_stalled(flat, step, 0.63, 30000, 0.95, window, 0.01)
+
+
+def test_attempt_seed_stride():
+    from air_tpu.train.trainer import attempt_seed
+    assert attempt_seed(7, 2, stride=13) == 33
+    assert attempt_seed(7, 0, stride=13) == 7       # base attempt
+    with pytest.raises(ValueError):
+        attempt_seed(7, 1, stride=0)
+    with pytest.raises(ValueError):
+        TrainerConfig(attempt_seed_stride=0)
+
+
+def test_resume_mid_rescue(tmp_path, tiny_dataset):
+    """A process killed mid-rescue must resume the SAME attempt: restart
+    budget, rotated schedule variant, eval history, and the attempt's
+    data-order seed all restored from the checkpoint sidecar."""
+    from air_tpu.train.trainer import attempt_seed
+    images, digits = tiny_dataset
+    rotation = (
+        {"z_pres_temperature": {"init": 3.0, "min": 1.0, "factor": 0.5,
+                                "iters": 4, "log": False}},
+        {"z_pres_prior_log_odds": {"init": 100.0, "min": 1e-9,
+                                   "factor": 0.1, "iters": 3, "log": True}},
+    )
+    tcfg = TrainerConfig(
+        results_folder=str(tmp_path / "rescue"), batch_size=8,
+        epochs=None, max_iterations=1000, num_summaries_every=2,
+        img_summaries_every=10 ** 9, grad_summaries_every=0,
+        var_summaries_every=10 ** 9, save_params_every=10 ** 9,
+        eval_batch_size=16, seed=0, log_every=10 ** 9,
+        source_snapshot=False, device_data=True, multi_step=2,
+        stall_detect_step=2, stall_accuracy=0.5, stall_window=0,
+        max_restarts=3, restart_schedule_rotation=rotation)
+    trainer = Trainer(SMALL, tcfg, (images[:32], digits[:32]),
+                      (images[:16], digits[:16]))
+    # stalled eval -> restart consumes budget, rotates variant 0, reseeds
+    assert trainer._maybe_restart_on_stall(4, 0.1) == "restart"
+    assert trainer.restarts == 1 and trainer._variant == 0
+    # a healthy eval on the rescue attempt lands in its history
+    assert trainer._maybe_restart_on_stall(6, 0.9) is None
+    save_checkpoint(trainer.models_dir, trainer.state, 6,
+                    loader_state=trainer.loader.state(),
+                    recovery=trainer.recovery_meta())
+
+    # "crash": a fresh Trainer on the same results folder resumes it all
+    t2 = Trainer(SMALL, tcfg, (images[:32], digits[:32]),
+                 (images[:16], digits[:16]))
+    assert t2.restarts == 1
+    assert t2._variant == 0
+    assert t2._eval_history == [(6, 0.9)]
+    assert t2.train_config.schedules["z_pres_temperature"]["init"] == 3.0
+    # base schedules untouched (evaluation comparability)
+    assert "z_pres_temperature" not in t2.config.schedules
+    # the rescue attempt's data-order seed survives via loader_state
+    assert t2.loader.seed == attempt_seed(tcfg.seed, 1,
+                                          tcfg.attempt_seed_stride)
+    # a second stall on resume consumes restart #2 (not a fresh budget)
+    assert t2._maybe_restart_on_stall(8, 0.1) == "restart"
+    assert t2.restarts == 2 and t2._variant == 1

@@ -97,6 +97,13 @@ def main():
                              "(it is in the good basin, merely slow); "
                              "0 disables")
     parser.add_argument("--max-restarts", type=int, default=3)
+    parser.add_argument("--attempt-stride", type=int, default=1009,
+                        help="attempt_seed stride: auto-restart n trains "
+                             "at seed + stride*n. Restart seeds are "
+                             "DERIVED, so a rescue campaign that exhausted "
+                             "one attempt sequence can pass a different "
+                             "stride to explore fresh (init, data-order) "
+                             "attempts (RESULTS.md seed-8); nonzero")
     parser.add_argument("--restart-rotation", type=int, choices=[0, 1],
                         default=1,
                         help="rotate the bootstrap schedule across "
@@ -148,6 +155,16 @@ def main():
                              "of the robust-default configuration, rescues "
                              "seeds that stall on hard/synthetic data, "
                              "RESULTS.md; 0 = the reference schedule)")
+    parser.add_argument("--anneal-iters", type=int, default=0,
+                        help="iterations per z_pres-prior decay decade "
+                             "(0 = the reference 3000, training.py:102 of "
+                             "the reference). The reference schedule is "
+                             "defined in ITERATIONS at batch 64; a run at "
+                             "batch B sees B/64 times more data per "
+                             "iteration, so large-batch configs must "
+                             "shrink this to anneal at the same pace in "
+                             "epochs (e.g. ~190 at batch 1024; RESULTS.md "
+                             "round-4 scaled-config attribution)")
     parser.add_argument("--scale-curriculum",
                         action=argparse.BooleanOptionalAction, default=None,
                         help="anneal the scale prior mean 0 -> -1 "
@@ -219,10 +236,12 @@ def main():
                        "ramp": args.bg_ramp}
     scale_curriculum = (not args.cnn if args.scale_curriculum is None
                         else args.scale_curriculum)
-    if args.anneal_hold or scale_curriculum:
+    if args.anneal_hold or args.anneal_iters or scale_curriculum:
         sched = model_config.schedules
         if args.anneal_hold:
             sched["z_pres_prior_log_odds"]["hold"] = args.anneal_hold
+        if args.anneal_iters:
+            sched["z_pres_prior_log_odds"]["iters"] = args.anneal_iters
         if scale_curriculum:
             # prior mean walks 0 -> -1 (25px -> ~15px windows) across ~5
             # half-life decades once z_pres annealing starts; same overlay
@@ -260,6 +279,7 @@ def main():
         stall_min_progress=args.stall_min_progress,
         stall_spare_accuracy=args.stall_spare_accuracy,
         max_restarts=args.max_restarts,
+        attempt_seed_stride=args.attempt_stride,
         restart_schedule_rotation=(
             DEFAULT_RESTART_ROTATION if args.restart_rotation else ()),
         bg_image=bg_image,
