@@ -11,5 +11,6 @@ echo "=== real-digits CNN rescue sweep (seeds 3 4 5 6 8) $(date) ==="
 timeout 10800 python scripts/seed_sweep_vmap.py 3 4 5 6 8 --cnn \
   --data real_digits_data --out sweep_real --max-restarts 6 \
   --max-iters 250000 --post-restart-iters 120000 \
-  --tag vmap_real_cnn_rescue 2>&1 | tail -12
+  --tag vmap_real_cnn_rescue > /tmp/r4_real_rescue_sweep.log 2>&1
+tail -12 /tmp/r4_real_rescue_sweep.log
 echo "=== real rescue done $(date) ==="

@@ -14,13 +14,17 @@ cd /root/repo
 echo "=== seed 6 rescue (spare-accuracy fix active) $(date) ==="
 timeout 5400 python scripts/seed_sweep.py 6 --data multi_mnist_data \
   --out sweep_r4_rescue --scale-prior-curriculum --stall-restart 60000 \
-  --max-restarts 5 --tag rescue_spc_rot_r4 2>&1 | tail -4
+  --max-restarts 5 --tag rescue_spc_rot_r4 \
+  > /tmp/r4_rescue_seed6.log 2>&1
+tail -3 /tmp/r4_rescue_seed6.log
 
 for stride in 2503 4007 7919; do
   echo "=== seed 8 rescue, attempt-stride $stride $(date) ==="
   timeout 5400 python scripts/seed_sweep.py 8 --data multi_mnist_data \
     --out sweep_r4_rescue --scale-prior-curriculum --stall-restart 60000 \
     --max-restarts 4 --attempt-stride "$stride" \
-    --tag "rescue_spc_rot_stride${stride}" 2>&1 | tail -4
+    --tag "rescue_spc_rot_stride${stride}" \
+    > "/tmp/r4_rescue_seed8_s${stride}.log" 2>&1
+  tail -3 "/tmp/r4_rescue_seed8_s${stride}.log"
 done
 echo "=== rescue campaign done $(date) ==="
