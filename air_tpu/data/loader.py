@@ -48,6 +48,13 @@ class TrainLoader:
             self.digits = np.asarray(digits, np.int32)
         self.n = len(self.images)
         self.batch_size = batch_size
+        if self.n < batch_size:
+            # the final-partial-batch drop would yield ZERO batches per
+            # epoch — downstream loops would spin without training (same
+            # guard as fast_pipeline.DeviceDataPipeline)
+            raise ValueError(
+                f"dataset has {self.n} examples < batch_size {batch_size}: "
+                f"no full batch can be formed")
         self.epochs = epochs
         self.seed = seed
         self.prefetch = prefetch

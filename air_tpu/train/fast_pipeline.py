@@ -124,6 +124,14 @@ class DeviceDataPipeline:
         self.batch_size = batch_size
         self.seed = seed
         self.batches_per_epoch = self.n // batch_size
+        if self.batches_per_epoch < 1:
+            # a dataset smaller than one batch would make chunk() return
+            # 0 forever and spin the training loop at step 0 without ever
+            # dispatching (observed: a clobbered 8-image dataset looped a
+            # rescue run through thousands of step-0 evals)
+            raise ValueError(
+                f"dataset has {self.n} examples < batch_size {batch_size}: "
+                f"no full batch can be formed")
         device = device or jax.devices()[0]
         self.images = jax.device_put(
             np.asarray(images, np.float32).reshape(self.n, -1), device)

@@ -429,3 +429,21 @@ def test_loader_backend_mismatch_warns():
     st["perm_backend"] = "native"
     with pytest.warns(UserWarning, match="permutation backend"):
         loader.restore(st)
+
+
+def test_loader_rejects_sub_batch_dataset():
+    """A dataset smaller than one batch would yield ZERO batches per epoch
+    and spin the training loop at step 0 forever (observed with a
+    clobbered 8-image dataset) — both loaders must refuse at construction."""
+    import pytest
+    from air_tpu.data.loader import TrainLoader
+    from air_tpu.train.fast_pipeline import DeviceDataPipeline
+    images = np.zeros((8, 2500), np.float32)
+    digits = np.zeros((8,), np.int32)
+    with pytest.raises(ValueError, match="no full batch"):
+        TrainLoader((images, digits), batch_size=64)
+    with pytest.raises(ValueError, match="no full batch"):
+        DeviceDataPipeline(images, digits, batch_size=64)
+    # exactly one batch is fine
+    assert TrainLoader((images, digits), batch_size=8).batches_per_epoch == 1
+    assert DeviceDataPipeline(images, digits, batch_size=8).chunk(50) == 1
