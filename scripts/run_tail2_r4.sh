@@ -22,6 +22,22 @@ for pu in 1 4; do
     --note "pipeline_unroll=${pu} convergence A/B: robust default (CNN hold-15k), 70k-step budget, stop 0.98, seed 0, stall detection off"
 done
 
+echo "=== seed 8 patience arms (the untested policy) $(date) ==="
+# Every prior seed-8 campaign used stall auto-restart: attempts are
+# killed at ~60-70k if flat, which is biased against SLOW bootstrappers
+# (round-1 seed 1 needed 250k steps on the reference schedule). Two
+# single-attempt patience runs with the full reference-length budget:
+timeout 5400 python scripts/seed_sweep.py 8 --data multi_mnist_data \
+  --out sweep_r4_rescue --scale-prior-curriculum --stall-restart 0 \
+  --max-iters 276000 --tag patience_spc \
+  > /tmp/r4_s8_patience1.log 2>&1
+tail -2 /tmp/r4_s8_patience1.log
+timeout 5400 python scripts/seed_sweep.py 8 --data multi_mnist_data \
+  --out sweep_r4_rescue --scale-prior-curriculum --stall-restart 0 \
+  --max-iters 276000 --hold 30000 --temp-anneal --tag patience_spc_h30k_temp \
+  > /tmp/r4_s8_patience2.log 2>&1
+tail -2 /tmp/r4_s8_patience2.log
+
 echo "=== raw-pixel real-digits rescue (open seeds, doubled budget) ==="
 timeout 10800 python scripts/seed_sweep_vmap.py 0 2 3 5 6 8 9 \
   --scale-curriculum --data real_digits_data --out sweep_real \
