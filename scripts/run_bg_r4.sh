@@ -64,5 +64,18 @@ case "${1:-gen}" in
       run_one "r4_ref_${T}_cnn" "harder_ref_${T}_data"
     done
     ;;
+  rest19)
+    # The remaining 11 of the reference's 19 shipped textures, in
+    # information-ceiling rank order (scripts/texture_contrast.py: best
+    # surviving ink contrast first) so a budget cut leaves a clean prefix
+    # of the 19/19 predicted-vs-measured map.
+    for T in portrait2 blob2 gray3 abstract3 portrait4 blob3 blob4 \
+             portrait3 abstract2 pattern4 pattern5; do
+      gen_one "harder_ref_${T}_data" \
+        --bg-path "/root/reference/backgrounds/${T}.png" --bg-max-intensity 1.0
+      run_one "r4_ref_${T}_cnn" "harder_ref_${T}_data"
+      rm -rf "harder_ref_${T}_data"   # ~60 MB each; regenerable, keep disk flat
+    done
+    ;;
 esac
 echo "=== r4 campaign segment ${1:-gen} done $(date) ==="
