@@ -179,9 +179,11 @@ def checkpoint_meta(path: str) -> dict:
     return {}
 
 
-def load_checkpoint(path: str, config, loader=None) -> TrainState:
+def load_checkpoint(path: str, config, loader=None, meta=None) -> TrainState:
     """Rebuild a TrainState from a checkpoint file. ``config`` recreates the
-    optimizer structure; ``loader`` (optional) is restored in place."""
+    optimizer structure; ``loader`` (optional) is restored in place.
+    ``meta`` (optional) is an already-parsed sidecar dict (checkpoint_meta)
+    so callers that need the meta themselves don't read it twice."""
     with np.load(path) as z:
         arrays = {k: z[k] for k in z.files}
     params = _unflatten_params(arrays)
@@ -198,7 +200,8 @@ def load_checkpoint(path: str, config, loader=None) -> TrainState:
             for i in range(n)]
         opt_state = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(template.opt_state), opt_leaves)
-    meta = checkpoint_meta(path)
+    if meta is None:
+        meta = checkpoint_meta(path)
     if "key" in arrays:
         # keep the saved representation: wrap to a typed key array ONLY
         # if the state was saved from one; a raw uint32 PRNGKey (what

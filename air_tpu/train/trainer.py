@@ -365,9 +365,11 @@ class Trainer:
         if trainer_config.resume:
             ckpt = latest_checkpoint(self.models_dir)
             if ckpt:
-                self.state = load_checkpoint(ckpt, self.config, self.loader)
+                meta = checkpoint_meta(ckpt)
+                self.state = load_checkpoint(ckpt, self.config, self.loader,
+                                             meta=meta)
                 print(f"resumed from {ckpt} at step {int(self.state.step)}")
-                rec = checkpoint_meta(ckpt).get("recovery")
+                rec = meta.get("recovery")
                 if rec:
                     # resume the SAME rescue attempt: restart budget, eval
                     # history (the stall slope window), and the rotated

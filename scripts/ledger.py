@@ -16,9 +16,6 @@ optional free-text note recording the exact command/config.
 import argparse
 import json
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def extract(folder: str) -> dict:

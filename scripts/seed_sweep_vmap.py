@@ -85,6 +85,12 @@ def main():
                         "config default) — attribution A/Bs")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
+    if args.attempt_stride == 0:
+        # fail fast like TrainerConfig.__post_init__ — stride 0 would make
+        # every restart reuse the base seed, burning the budget on
+        # identical attempts (and would otherwise only raise mid-sweep at
+        # the first stall)
+        p.error("--attempt-stride must be nonzero")
 
     import numpy as np
     import jax
@@ -169,6 +175,7 @@ def main():
     restarts = [0] * S
     conv_step = [None] * S             # replica-clock step at convergence
     final_acc = [0.0] * S
+    best_acc = [0.0] * S               # across ALL attempts (never reset)
     history = [[] for _ in range(S)]   # (replica_step, acc)
     epoch, index = 0, 0
     perms = multi_seed_perms(n, seeds, epoch)
@@ -180,18 +187,26 @@ def main():
     def replica_steps():
         return np.asarray(jax.device_get(state.step))
 
-    def retry(fn, *fargs, **fkw):
+    def retry(fn, *fargs, _donated=None, **fkw):
         """Run a device call, retrying transient tunnel failures (the axon
         TPU tunnel can drop a remote_compile response mid-read — observed
         killing a 45-min sweep at its rescue phase). Probe with a trivial
         op after a pause; if the device (and the sweep's resident buffers)
         survived, the retried call succeeds, else the original error
-        propagates to the crash-ledger path below."""
+        propagates to the crash-ledger path below.
+
+        _donated: an array donated to fn (the train steps donate the state,
+        donate_argnums=(0,)). If the failure happened AFTER dispatch the
+        donated buffers are already consumed — a re-invoke cannot succeed
+        and would mask the original error with a deleted-array error, so
+        re-raise the original immediately."""
         for attempt in range(4):
             try:
                 return fn(*fargs, **fkw)
             except jax.errors.JaxRuntimeError as e:
                 if attempt == 3:
+                    raise
+                if _donated is not None and _donated.is_deleted():
                     raise
                 print(f"  [retry] device call failed ({e}); probing in 60s",
                       flush=True)
@@ -219,6 +234,7 @@ def main():
             # (ADVICE r2)
             if conv_step[r] is None:
                 final_acc[r] = float(acc[r])
+            best_acc[r] = max(best_acc[r], float(acc[r]))
             history[r].append((int(rsteps[r]), float(acc[r])))
             if conv_step[r] is None and acc[r] >= args.stop_acc:
                 conv_step[r] = int(rsteps[r])
@@ -230,7 +246,8 @@ def main():
         """Final (or crash-time) ledger rows. On a crash the device may be
         unreachable, so replica steps come from the eval history rather
         than a device fetch; rows carry "crashed": true and best-so-far
-        accuracy — a died sweep still leaves quantitative evidence."""
+        accuracy (best across all attempts — the strongest evidence the
+        died sweep actually produced)."""
         wall = time.time() - t0
         if crashed:
             rsteps = [history[r][-1][0] if history[r] else 0
@@ -245,7 +262,8 @@ def main():
                     "final_step": int(conv_step[r]
                                       if conv_step[r] is not None
                                       else rsteps[r]),
-                    "test_accuracy": final_acc[r],
+                    "test_accuracy": (best_acc[r] if crashed
+                                      else final_acc[r]),
                     "converged": conv_step[r] is not None
                     or final_acc[r] >= args.stop_acc,
                     "restarts": restarts[r],
@@ -329,7 +347,8 @@ def main():
             extra = () if knobs_S is None else (knobs_S,)
             if k == K:
                 state, _ = retry(multi, state, images, digits, perms,
-                                 jnp.asarray(index, jnp.int32), *extra)
+                                 jnp.asarray(index, jnp.int32), *extra,
+                                 _donated=state.step)
                 index += K
                 step += K
             else:
@@ -340,14 +359,14 @@ def main():
                 for _ in range(k):
                     state, _ = retry(single_step, state, images, digits,
                                      perms, jnp.asarray(index, jnp.int32),
-                                     *extra)
+                                     *extra, _donated=state.step)
                     index += 1
                     step += 1
 
         if last_eval != step and not all(c is not None for c in conv_step):
             # the loop exited at max_iters up to eval_every-1 steps after
             # the last eval: refresh the accuracy at the true final step
-            run_eval()
+            retry(run_eval)
     except BaseException:
         write_rows(crashed=True)
         raise
