@@ -153,21 +153,27 @@ def _step(params: dict, config: AIRConfig, hp: dict,
         st_write = functools.partial(attention_write,
                                      pad_mode=config.st_pad_mode)
 
-    # RNN time step (air/air_model.py:284-286)
+    # RNN time step (air/air_model.py:284-286). Under mixed precision
+    # (config.compute_dtype, cast in air_forward) the LSTM and the heads
+    # below run in bf16; every head OUTPUT is promoted to fp32 before
+    # sampling/KL so the distribution math and the ST stay full-precision
+    # (all promotions are no-ops at the fp32 default).
     outputs, lstm_state = lstm_apply(params["lstm"], lstm_state, rnn_input)
 
     # scale head: sample -> sigmoid (air/air_model.py:288-303)
-    scale_mean = two_layer_head_apply(params["scale_mean"], outputs)
+    scale_mean = two_layer_head_apply(
+        params["scale_mean"], outputs).astype(jnp.float32)
     scale_log_variance = two_layer_head_apply(
-        params["scale_log_variance"], outputs)
+        params["scale_log_variance"], outputs).astype(jnp.float32)
     scale_variance = jnp.exp(scale_log_variance)
     scale = jax.nn.sigmoid(sample_from_mvn(k_scale, scale_mean, scale_variance))
     s = scale[:, 0]
 
     # shift head: sample -> tanh (air/air_model.py:305-320)
-    shift_mean = two_layer_head_apply(params["shift_mean"], outputs)
+    shift_mean = two_layer_head_apply(
+        params["shift_mean"], outputs).astype(jnp.float32)
     shift_log_variance = two_layer_head_apply(
-        params["shift_log_variance"], outputs)
+        params["shift_log_variance"], outputs).astype(jnp.float32)
     shift_variance = jnp.exp(shift_log_variance)
     shift = jnp.tanh(sample_from_mvn(k_shift, shift_mean, shift_variance))
     x, y = shift[:, 0], shift[:, 1]
@@ -175,9 +181,14 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     # forward ST: canvas -> window (air/air_model.py:322-333), MXU path
     window = st_read(images_2d, s, x, y, ws).reshape(batch, ws * ws)
 
-    # VAE on the flattened window (air/air_model.py:335-349)
-    vae_recon, vae_mean, vae_log_variance, vae_latent = vae_apply(
-        params["vae"], k_vae, window, hp["vae_likelihood_std"])
+    # VAE on the flattened window (air/air_model.py:335-349); runs at the
+    # compute dtype of its params, outputs promoted to fp32 (the recon
+    # feeds the canvas accumulation, the moments feed the KL)
+    vae_dtype = params["vae"]["rec_mean"]["w"].dtype
+    vae_recon, vae_mean, vae_log_variance, vae_latent = (
+        o.astype(jnp.float32) for o in vae_apply(
+            params["vae"], k_vae, window.astype(vae_dtype),
+            hp["vae_likelihood_std"]))
 
     # backward ST theta, recorded for visualization (air/air_model.py:351-360)
     zeros = jnp.zeros_like(s)
@@ -197,7 +208,7 @@ def _step(params: dict, config: AIRConfig, hp: dict,
 
     # z_pres head -> Concrete sample (air/air_model.py:368-396)
     z_pres_log_odds = two_layer_head_apply(
-        params["z_pres_log_odds"], outputs)[:, 0]
+        params["z_pres_log_odds"], outputs)[:, 0].astype(jnp.float32)
     z_pres_pre_sigmoid = concrete_binary_pre_sigmoid_sample(
         k_zpres, z_pres_log_odds, hp["z_pres_temperature"])
     z_pres = jax.nn.sigmoid(z_pres_pre_sigmoid)
@@ -289,12 +300,27 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
     images = images.astype(jnp.float32)
     images_2d = images.reshape(batch, cs, cs)
 
+    # mixed precision (config.compute_dtype): cast the matmul-bearing
+    # submodule params ONCE here — CNN/LSTM/heads/VAE then run in bf16
+    # (_step promotes their outputs back to fp32 at the sampling/KL
+    # boundaries). The background parameter stays fp32: it feeds the
+    # canvas, whose eps-guarded BCE gradients are bootstrap-critical.
+    # Master params remain fp32 outside this function, so Adam sees fp32
+    # gradients accumulated through the cast.
+    cdt = jnp.dtype(config.compute_dtype)
+    if cdt != jnp.float32:
+        params = {k: (v if k == "background"
+                      else jax.tree_util.tree_map(
+                          lambda a: a.astype(cdt), v))
+                  for k, v in params.items()}
+
     # recurrent input: CNN features or the raw flat image every step
     # (reference air/air_model.py:510-535)
     if config.cnn:
-        rnn_input = cnn_apply(params["cnn"], images, cs, config.cnn_filters)
+        rnn_input = cnn_apply(params["cnn"], images.astype(cdt), cs,
+                              config.cnn_filters)
     else:
-        rnn_input = images
+        rnn_input = images.astype(cdt)
 
     if config.learn_background:
         # harder-scenes extension (models/config.py:learn_background): the
@@ -306,7 +332,7 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
     else:
         init_recon = jnp.zeros((batch, cs * cs), images.dtype)
     init_carry = (
-        lstm_zero_state(batch, config.rnn_units, images.dtype),
+        lstm_zero_state(batch, config.rnn_units, cdt),
         jnp.zeros((batch,), images.dtype),            # stopping_sum
         init_recon,                                   # running_recon
         jnp.zeros((batch,), images.dtype),            # running_loss

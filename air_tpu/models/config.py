@@ -103,6 +103,17 @@ class AIRConfig:
     # at tiny trip counts (3-5) unrolling removes per-iteration loop
     # overhead and widens XLA's fusion scope. 1 = rolled (default).
     scan_unroll: int = 1
+    # Mixed-precision COMPUTE dtype ("float32" | "bfloat16") for the
+    # matmul-heavy submodules: CNN, LSTM, heads, and VAE run with bf16
+    # params/activations (halving their HBM/VMEM traffic — the MXU already
+    # multiplies in bf16 at DEFAULT precision, so this is a bandwidth
+    # lever, not a FLOPs one). Everything numerics-critical stays fp32:
+    # head OUTPUTS are promoted before sampling, every KL, the spatial
+    # transformer, the canvas accumulation, and the eps-guarded BCE
+    # (models/air.py bootstrap analysis). Master params and Adam stay
+    # fp32 (the cast is inside the forward, autodiff accumulates fp32
+    # grads through it). Convergence evidence: RESULTS.md round-4.
+    compute_dtype: str = "float32"
     # harder-scenes extension (no reference counterpart): learn a static
     # background canvas. The generator composites ONE background texture
     # into every image (reference multi_mnist.py:319-334: read once, added
@@ -122,6 +133,9 @@ class AIRConfig:
         if isinstance(self.annealing_schedules, dict):
             object.__setattr__(self, "annealing_schedules",
                                _freeze(self.annealing_schedules))
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be 'float32' or "
+                             f"'bfloat16', got {self.compute_dtype!r}")
 
     @property
     def schedules(self) -> dict:

@@ -479,6 +479,13 @@ def main():
                         help="unroll factor for the max_steps attention "
                              "scan (AIRConfig.scan_unroll). Default: the "
                              "shipped config default")
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="mixed-precision compute dtype for the "
+                             "CNN/LSTM/heads/VAE matmuls "
+                             "(AIRConfig.compute_dtype; sampling/KL/ST/"
+                             "canvas/BCE stay fp32). Default: the shipped "
+                             "config default (float32)")
     parser.add_argument("--pipeline-unroll", type=int, default=1,
                         help="unroll factor for the K-step fused-pipeline "
                              "scan (fuses across optimizer steps; attacks "
@@ -491,6 +498,8 @@ def main():
         CFG_OVERRIDES["adam_storage_dtype"] = args.adam_dtype
     if args.unroll is not None:
         CFG_OVERRIDES["scan_unroll"] = args.unroll
+    if args.compute_dtype is not None:
+        CFG_OVERRIDES["compute_dtype"] = args.compute_dtype
 
     if args.fused and (args.eval or args.multi_seed or args.data_parallel):
         parser.error("--fused conflicts with --eval/--multi-seed/"
@@ -542,6 +551,8 @@ def main():
             suffix += f"_{args.st_impl}"
         if args.pipeline_unroll != 1:
             suffix += f"_pu{args.pipeline_unroll}"
+        if args.compute_dtype == "bfloat16":
+            suffix += "_bf16c"
         print(json.dumps({
             "metric": f"multi_mnist_train_fused{r['multi_step']}"
                       f"_images_per_sec_b{args.batch_size}{suffix}",
@@ -626,6 +637,8 @@ def main():
     suffix = "" if args.config == "default" else f"_{args.config}"
     if args.st_impl != "xla":
         suffix += f"_{args.st_impl}"
+    if args.compute_dtype == "bfloat16":
+        suffix += "_bf16c"
     out = {
         "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}{suffix}",
         "value": round(result["images_per_sec"], 1),

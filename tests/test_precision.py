@@ -139,3 +139,47 @@ def test_scan_unroll_is_equivalent():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out1.rec_num_digits),
                                np.asarray(out2.rec_num_digits))
+
+
+# -- compute_dtype (mixed-precision forward, round-4) ------------------------
+
+def test_compute_dtype_bf16_close_to_fp32():
+    """bf16 CNN/LSTM/heads/VAE with fp32 sampling/KL/ST/canvas: the loss
+    must stay close to the fp32 forward (same params, same keys) and the
+    gradients must come back fp32, finite, and nonzero (the cast lives
+    inside the forward; master params stay fp32)."""
+    images, targets = _batch()
+    key = jax.random.PRNGKey(3)
+    params = init_air_params(jax.random.PRNGKey(0), SMALL)
+    cfg16 = SMALL.replace(compute_dtype="bfloat16")
+
+    out32 = air_forward(params, SMALL, images, targets, key, train=True)
+    out16 = air_forward(params, cfg16, images, targets, key, train=True)
+    np.testing.assert_allclose(float(out16.loss), float(out32.loss),
+                               rtol=2e-2)
+    assert out16.reconstruction.dtype == jnp.float32
+
+    g = jax.grad(lambda p: air_forward(p, cfg16, images, targets, key,
+                                       train=True).loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_compute_dtype_bf16_train_step_decreases_loss():
+    cfg = SMALL.replace(compute_dtype="bfloat16", cnn=True)
+    step = make_train_step(cfg, donate=False)
+    state = create_train_state(cfg, rng=0)
+    images, targets = _batch()
+    losses = []
+    for _ in range(30):
+        state, m = step(state, images, targets)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_compute_dtype_validated():
+    with pytest.raises(ValueError):
+        SMALL.replace(compute_dtype="float16")

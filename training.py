@@ -78,6 +78,15 @@ def main():
                         help="attention-scan unroll factor "
                              "(AIRConfig.scan_unroll). Default: the "
                              "shipped config default")
+    parser.add_argument("--compute-dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="mixed-precision compute dtype for the "
+                             "CNN/LSTM/heads/VAE matmuls (AIRConfig."
+                             "compute_dtype; sampling/KL/ST/canvas/BCE "
+                             "and the optimizer stay fp32). Default: "
+                             "float32 — the bootstrap-critical numerics "
+                             "policy; see RESULTS.md round-4 before "
+                             "flipping this on")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
     parser.add_argument("--stall-restart-step", type=int, default=60000,
@@ -224,6 +233,8 @@ def main():
         # raw-pixel runs pin reference-exact numerics (rolled scan, fp32
         # moments) unless overridden — RESULTS.md round-3 unroll attribution
         **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll),
+        **({"compute_dtype": args.compute_dtype}
+           if args.compute_dtype else {}),
     )
     bg_image, bg_schedule = None, None
     if args.bg_composite_kind or args.bg_composite_path:
