@@ -83,6 +83,12 @@ def main():
     p.add_argument("--unroll", type=int, default=None,
                    help="scan_unroll override (default: the shipped "
                         "config default) — attribution A/Bs")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="mixed-precision compute dtype override "
+                        "(AIRConfig.compute_dtype: bf16 CNN/LSTM/heads/"
+                        "VAE, fp32 sampling/KL/ST/canvas) — convergence "
+                        "sweeps for the round-4 mixed-precision evidence")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
     if args.attempt_stride == 0:
@@ -122,13 +128,16 @@ def main():
         annealing_schedules=sched, cnn=args.cnn,
         # raw-pixel runs pin rolled scan + fp32 moments unless overridden
         # (RESULTS.md round-3 unroll attribution)
-        **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll))
-    tag = args.tag or ("vmap_hold%d%s%s%s%s%s" % (
+        **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll),
+        **({"compute_dtype": args.compute_dtype}
+           if args.compute_dtype else {}))
+    tag = args.tag or ("vmap_hold%d%s%s%s%s%s%s" % (
         args.hold, "_cnn" if args.cnn else "",
         "_scalecur" if args.scale_curriculum else "",
         "_rot" if args.rotate else "",
         "_" + args.adam_dtype if args.adam_dtype else "",
-        "_unroll%d" % args.unroll if args.unroll is not None else ""))
+        "_unroll%d" % args.unroll if args.unroll is not None else "",
+        "_bf16c" if args.compute_dtype == "bfloat16" else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)

@@ -327,3 +327,32 @@ def test_stall_slope_detection(tmp_path):
     for step, acc in [(40000, 0.63), (60000, 0.63)]:
         verdict = tr._maybe_restart_on_stall(step, acc)
     assert verdict == "giveup"
+
+
+def test_multi_step_compute_dtype_bf16():
+    """The fused K-step pipeline composes with mixed precision
+    (AIRConfig.compute_dtype): same-seed fused vs single-step training
+    stays close (bf16 matmuls reorder summation across the fusion
+    boundary, so parity is loose, not exact) and the fused chunk keeps
+    fp32 master params."""
+    images, digits = _data(64)
+    B, K = 8, 4
+    cfg = dataclasses.replace(SMALL, compute_dtype="bfloat16")
+    perm = device_epoch_perm(64, seed=3, epoch=0)
+    state = create_train_state(cfg, rng=0)
+    multi = make_multi_step(cfg, K, B, donate=False)
+    new, metrics = multi(state, jnp.asarray(images), jnp.asarray(digits),
+                         perm, jnp.asarray(0, jnp.int32))
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(new.params))
+
+    state_s = create_train_state(cfg, rng=0)
+    single = make_train_step(cfg, donate=False)
+    perm_h = np.asarray(perm)
+    for i in range(K):
+        idx = perm_h[i * B:(i + 1) * B]
+        state_s, m = single(state_s, jnp.asarray(images[idx]),
+                            jnp.asarray(digits[idx]))
+    np.testing.assert_allclose(float(metrics["loss"][K - 1]),
+                               float(m["loss"]), rtol=5e-2)

@@ -250,3 +250,20 @@ def test_evaluate_replicas_per_replica_clock_and_knobs():
                                       knobs_S=knobs_S)
     np.testing.assert_allclose(acc_k, acc, rtol=1e-6)
     assert abs(loss_k[1] - loss[1]) > 1e-6
+
+
+def test_multi_seed_step_compute_dtype_bf16():
+    """Seed-parallel vmap composes with mixed precision (the cast lives
+    inside air_forward, under the replica vmap): finite losses, fp32
+    master params per replica."""
+    import dataclasses
+    cfg = dataclasses.replace(SMALL, compute_dtype="bfloat16")
+    images, digits = _data()
+    multi = make_multi_seed_step(cfg, K, B, donate=False)
+    state_S = create_multi_seed_state(cfg, SEEDS)
+    perms = multi_seed_perms(N, SEEDS, 0)
+    state_S, metrics = multi(state_S, images, digits, perms,
+                             jnp.asarray(0, jnp.int32))
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state_S.params))
