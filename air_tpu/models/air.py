@@ -154,26 +154,38 @@ def _step(params: dict, config: AIRConfig, hp: dict,
                                      pad_mode=config.st_pad_mode)
 
     # RNN time step (air/air_model.py:284-286). Under mixed precision
-    # (config.compute_dtype, cast in air_forward) the LSTM and the heads
-    # below run in bf16; every head OUTPUT is promoted to fp32 before
-    # sampling/KL so the distribution math and the ST stay full-precision
-    # (all promotions are no-ops at the fp32 default).
-    outputs, lstm_state = lstm_apply(params["lstm"], lstm_state, rnn_input)
+    # (config.compute_dtype) the LSTM and the heads below run in bf16;
+    # every head OUTPUT is promoted to fp32 before sampling/KL so the
+    # distribution math and the ST stay full-precision. The params are
+    # cast PER USE *inside* the scan body (not hoisted to air_forward) so
+    # the scan transpose sums the per-step parameter cotangents in fp32 —
+    # a cast hoisted outside the scan makes that cross-step accumulation
+    # happen in bf16, which measurably degrades the localization bootstrap
+    # (RESULTS.md round-4 mixed-precision attribution). XLA's
+    # loop-invariant code motion / CSE removes the repeated forward casts,
+    # and every cast is a no-op at the fp32 default.
+    cdt = jnp.dtype(config.compute_dtype)
+
+    def cast(tree):
+        return jax.tree_util.tree_map(lambda a: a.astype(cdt), tree)
+
+    outputs, lstm_state = lstm_apply(cast(params["lstm"]), lstm_state,
+                                     rnn_input.astype(cdt))
 
     # scale head: sample -> sigmoid (air/air_model.py:288-303)
     scale_mean = two_layer_head_apply(
-        params["scale_mean"], outputs).astype(jnp.float32)
+        cast(params["scale_mean"]), outputs).astype(jnp.float32)
     scale_log_variance = two_layer_head_apply(
-        params["scale_log_variance"], outputs).astype(jnp.float32)
+        cast(params["scale_log_variance"]), outputs).astype(jnp.float32)
     scale_variance = jnp.exp(scale_log_variance)
     scale = jax.nn.sigmoid(sample_from_mvn(k_scale, scale_mean, scale_variance))
     s = scale[:, 0]
 
     # shift head: sample -> tanh (air/air_model.py:305-320)
     shift_mean = two_layer_head_apply(
-        params["shift_mean"], outputs).astype(jnp.float32)
+        cast(params["shift_mean"]), outputs).astype(jnp.float32)
     shift_log_variance = two_layer_head_apply(
-        params["shift_log_variance"], outputs).astype(jnp.float32)
+        cast(params["shift_log_variance"]), outputs).astype(jnp.float32)
     shift_variance = jnp.exp(shift_log_variance)
     shift = jnp.tanh(sample_from_mvn(k_shift, shift_mean, shift_variance))
     x, y = shift[:, 0], shift[:, 1]
@@ -181,13 +193,13 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     # forward ST: canvas -> window (air/air_model.py:322-333), MXU path
     window = st_read(images_2d, s, x, y, ws).reshape(batch, ws * ws)
 
-    # VAE on the flattened window (air/air_model.py:335-349); runs at the
-    # compute dtype of its params, outputs promoted to fp32 (the recon
-    # feeds the canvas accumulation, the moments feed the KL)
-    vae_dtype = params["vae"]["rec_mean"]["w"].dtype
+    # VAE on the flattened window (air/air_model.py:335-349); the MLPs run
+    # at the compute dtype, the latent/likelihood sampling inside
+    # vae_apply is fp32, outputs promoted to fp32 (the recon feeds the
+    # canvas accumulation, the moments feed the KL)
     vae_recon, vae_mean, vae_log_variance, vae_latent = (
         o.astype(jnp.float32) for o in vae_apply(
-            params["vae"], k_vae, window.astype(vae_dtype),
+            cast(params["vae"]), k_vae, window.astype(cdt),
             hp["vae_likelihood_std"]))
 
     # backward ST theta, recorded for visualization (air/air_model.py:351-360)
@@ -208,7 +220,7 @@ def _step(params: dict, config: AIRConfig, hp: dict,
 
     # z_pres head -> Concrete sample (air/air_model.py:368-396)
     z_pres_log_odds = two_layer_head_apply(
-        params["z_pres_log_odds"], outputs)[:, 0].astype(jnp.float32)
+        cast(params["z_pres_log_odds"]), outputs)[:, 0].astype(jnp.float32)
     z_pres_pre_sigmoid = concrete_binary_pre_sigmoid_sample(
         k_zpres, z_pres_log_odds, hp["z_pres_temperature"])
     z_pres = jax.nn.sigmoid(z_pres_pre_sigmoid)
@@ -300,27 +312,28 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
     images = images.astype(jnp.float32)
     images_2d = images.reshape(batch, cs, cs)
 
-    # mixed precision (config.compute_dtype): cast the matmul-bearing
-    # submodule params ONCE here — CNN/LSTM/heads/VAE then run in bf16
-    # (_step promotes their outputs back to fp32 at the sampling/KL
-    # boundaries). The background parameter stays fp32: it feeds the
-    # canvas, whose eps-guarded BCE gradients are bootstrap-critical.
-    # Master params remain fp32 outside this function, so Adam sees fp32
-    # gradients accumulated through the cast.
+    # mixed precision (config.compute_dtype): the LSTM/head/VAE params are
+    # cast per use INSIDE the scan body (_step) so the scan transpose
+    # accumulates their per-step cotangents in fp32 — see the _step
+    # comment and RESULTS.md round-4 mixed-precision attribution. Only the
+    # CNN (a single pre-scan call whose param cotangents don't accumulate
+    # across steps) is cast here; its feature output is kept fp32 in the
+    # scan closure for the same accumulation reason and re-cast per step.
+    # The background parameter stays fp32: it feeds the canvas, whose
+    # eps-guarded BCE gradients are bootstrap-critical. Master params and
+    # Adam remain fp32 throughout.
     cdt = jnp.dtype(config.compute_dtype)
-    if cdt != jnp.float32:
-        params = {k: (v if k == "background"
-                      else jax.tree_util.tree_map(
-                          lambda a: a.astype(cdt), v))
-                  for k, v in params.items()}
 
     # recurrent input: CNN features or the raw flat image every step
     # (reference air/air_model.py:510-535)
     if config.cnn:
-        rnn_input = cnn_apply(params["cnn"], images.astype(cdt), cs,
-                              config.cnn_filters)
+        cnn_params = (params["cnn"] if cdt == jnp.float32
+                      else jax.tree_util.tree_map(
+                          lambda a: a.astype(cdt), params["cnn"]))
+        rnn_input = cnn_apply(cnn_params, images.astype(cdt), cs,
+                              config.cnn_filters).astype(jnp.float32)
     else:
-        rnn_input = images.astype(cdt)
+        rnn_input = images
 
     if config.learn_background:
         # harder-scenes extension (models/config.py:learn_background): the

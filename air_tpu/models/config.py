@@ -108,11 +108,14 @@ class AIRConfig:
     # params/activations (halving their HBM/VMEM traffic — the MXU already
     # multiplies in bf16 at DEFAULT precision, so this is a bandwidth
     # lever, not a FLOPs one). Everything numerics-critical stays fp32:
-    # head OUTPUTS are promoted before sampling, every KL, the spatial
-    # transformer, the canvas accumulation, and the eps-guarded BCE
-    # (models/air.py bootstrap analysis). Master params and Adam stay
-    # fp32 (the cast is inside the forward, autodiff accumulates fp32
-    # grads through it). Convergence evidence: RESULTS.md round-4.
+    # head OUTPUTS are promoted before sampling, the VAE's latent /
+    # likelihood sampling (nn/vae.py), every KL, the spatial transformer,
+    # the canvas accumulation, and the eps-guarded BCE (models/air.py
+    # bootstrap analysis). Master params and Adam stay fp32, and the
+    # casts live INSIDE the attention scan body so the per-step parameter
+    # cotangents are summed in fp32 (a hoisted cast makes that cross-step
+    # accumulation bf16 and cost 3/10 seeds — RESULTS.md round-4
+    # mixed-precision section has the A/B evidence).
     compute_dtype: str = "float32"
     # harder-scenes extension (no reference counterpart): learn a static
     # background canvas. The generator composites ONE background texture

@@ -37,21 +37,30 @@ def vae_apply(params: dict, key: jax.Array, inputs: jnp.ndarray,
     """Returns (reconstruction, rec_mean, rec_log_variance, latent)."""
     k_latent, k_out = jax.random.split(key)
 
+    # the MLPs run at the params'/inputs' compute dtype (bf16 under
+    # AIRConfig.compute_dtype="bfloat16"); ALL sampling math — eps draw,
+    # exp/sqrt of the log-variance, the reparameterized sum, and the
+    # likelihood noise — is promoted to fp32 (no-ops at the fp32
+    # default), with the sample cast back down only to feed the
+    # generative matmuls.
+    cdt = inputs.dtype
+
     h = inputs
     for layer in params["rec"]:
         h = dense_apply(layer, h, activation)
-    rec_mean = dense_apply(params["rec_mean"], h, None)
-    rec_log_variance = dense_apply(params["rec_log_variance"], h, None)
+    rec_mean = dense_apply(params["rec_mean"], h, None).astype(jnp.float32)
+    rec_log_variance = dense_apply(
+        params["rec_log_variance"], h, None).astype(jnp.float32)
 
-    eps = jax.random.normal(k_latent, rec_mean.shape, rec_mean.dtype)
+    eps = jax.random.normal(k_latent, rec_mean.shape, jnp.float32)
     rec_sample = rec_mean + eps * jnp.sqrt(jnp.exp(rec_log_variance))
 
-    h = rec_sample
+    h = rec_sample.astype(cdt)
     for layer in params["gen"]:
         h = dense_apply(layer, h, activation)
-    gen_mean = dense_apply(params["gen_mean"], h, None)
+    gen_mean = dense_apply(params["gen_mean"], h, None).astype(jnp.float32)
 
-    noise = jax.random.normal(k_out, gen_mean.shape, gen_mean.dtype)
+    noise = jax.random.normal(k_out, gen_mean.shape, jnp.float32)
     reconstruction = jax.nn.sigmoid(gen_mean + noise * likelihood_std)
 
     # the exposed latent is the recognition mean (reference air/vae.py:43)

@@ -183,3 +183,41 @@ def test_compute_dtype_bf16_train_step_decreases_loss():
 def test_compute_dtype_validated():
     with pytest.raises(ValueError):
         SMALL.replace(compute_dtype="float16")
+
+
+def test_compute_dtype_cast_is_inside_scan():
+    """The mixed-precision param casts must live INSIDE the attention scan
+    body, so the scan transpose sums the per-step parameter cotangents in
+    fp32. A cast hoisted outside the scan turns the scan's closed-over
+    params bf16 and the cross-step gradient accumulation with them (the
+    round-4 review finding behind the 7/10 bf16c convergence regression).
+    Locked by checking no bf16 leaf appears among the scan's consts — the
+    bf16 LSTM carry (init state) and the int step keys are exempt."""
+    cfg16 = SMALL.replace(compute_dtype="bfloat16")
+    params = init_air_params(jax.random.PRNGKey(0), SMALL)
+    images, targets = _batch()
+    jaxpr = jax.make_jaxpr(
+        lambda p: air_forward(p, cfg16, images, targets,
+                              jax.random.PRNGKey(3), train=True).loss
+    )(params)
+    scans = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "scan"]
+    assert scans, "attention scan not found in the forward jaxpr"
+    for eqn in scans:
+        consts = eqn.invars[:eqn.params["num_consts"]]
+        bad = [v for v in consts
+               if getattr(v.aval, "dtype", None) == jnp.bfloat16]
+        assert not bad, (
+            f"bf16 closed-over scan consts (hoisted cast?): "
+            f"{[v.aval for v in bad]}")
+
+
+def test_vae_sampling_is_fp32_under_bf16_params():
+    """nn/vae.py promises fp32 sampling math: with bf16 params and inputs,
+    the returned recon/moments/latent must come back fp32 (the latent
+    sample and likelihood noise are drawn and combined in fp32)."""
+    from air_tpu.nn.vae import vae_init, vae_apply
+    p = vae_init(jax.random.PRNGKey(0), 16, (8,), 4, (8,))
+    p16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), p)
+    x16 = jnp.ones((3, 16), jnp.bfloat16)
+    outs = vae_apply(p16, jax.random.PRNGKey(1), x16, 0.3)
+    assert all(o.dtype == jnp.float32 for o in outs)
