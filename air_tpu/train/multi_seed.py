@@ -221,8 +221,14 @@ def make_multi_seed_eval(config: AIRConfig, knob_schedules: bool = False):
         return out.accuracy, jnp.mean(out.per_example_loss)
 
     if knob_schedules:
-        return jax.jit(jax.vmap(one, in_axes=(0, None, None, None, 0, 0)))
-    return jax.jit(jax.vmap(one, in_axes=(0, None, None, None, 0)))
+        fn = jax.jit(jax.vmap(one, in_axes=(0, None, None, None, 0, 0)))
+    else:
+        fn = jax.jit(jax.vmap(one, in_axes=(0, None, None, None, 0)))
+    # evaluate_replicas asserts this against its knobs_S argument — a
+    # mismatched pair would otherwise surface as an opaque vmap in_axes
+    # arity TypeError mid-eval (advisor r4)
+    fn.knob_schedules = knob_schedules
+    return fn
 
 
 def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
@@ -243,6 +249,14 @@ def evaluate_replicas(config: AIRConfig, state: TrainState, images, digits,
     if eval_fn is None:
         eval_fn = make_multi_seed_eval(config,
                                        knob_schedules=knobs_S is not None)
+    elif hasattr(eval_fn, "knob_schedules"):
+        if eval_fn.knob_schedules != (knobs_S is not None):
+            raise ValueError(
+                f"eval_fn was built with knob_schedules="
+                f"{eval_fn.knob_schedules} but knobs_S is "
+                f"{'set' if knobs_S is not None else 'None'} — pass a "
+                f"matching pair (make_multi_seed_eval(config, "
+                f"knob_schedules={knobs_S is not None}))")
     steps_S = (state.step if step is None
                else jnp.full_like(state.step, int(step)))
     extra = () if knobs_S is None else (knobs_S,)

@@ -86,13 +86,6 @@ class TrainerConfig:
     # early (report the stalled accuracy) instead of burning the remaining
     # max_iterations on a provably dead attempt.
     stop_on_exhausted_restarts: bool = True
-
-    def __post_init__(self):
-        # stride 0 would make every auto-restart reuse the base seed,
-        # silently burning the whole restart budget on identical attempts
-        if self.attempt_seed_stride == 0:
-            raise ValueError("attempt_seed_stride must be nonzero (0 would "
-                             "retry the identical attempt every restart)")
     num_summaries_every: int = 50            # reference training.py:20
     var_summaries_every: int = 250           # reference training.py:21
     img_summaries_every: int = 500           # reference training.py:22
@@ -136,6 +129,13 @@ class TrainerConfig:
     # 0-digit scenes reconstruct perfectly at step 0 and attention only
     # ever sees unexplained digit ink (the round-3 harder-scenes remedy).
     background_init: object = None
+
+    def __post_init__(self):
+        # stride 0 would make every auto-restart reuse the base seed,
+        # silently burning the whole restart budget on identical attempts
+        if self.attempt_seed_stride == 0:
+            raise ValueError("attempt_seed_stride must be nonzero (0 would "
+                             "retry the identical attempt every restart)")
 
 
 # Built-in rotation for restart_schedule_rotation: remedies from the

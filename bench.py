@@ -434,6 +434,20 @@ def measure_cpu_subprocess(batch_size: int, steps: int = 10) -> dict:
     raise RuntimeError(f"cpu measurement failed: {out.stderr[-2000:]}")
 
 
+def metric_suffix(args) -> str:
+    """Non-default knob suffix for the JSON metric name, shared by every
+    bench mode so a bf16c/pu/st-impl row is never indistinguishable from
+    the fp32 baseline row in the ledger (advisor r4)."""
+    suffix = "" if args.config == "default" else f"_{args.config}"
+    if args.st_impl != "xla":
+        suffix += f"_{args.st_impl}"
+    if getattr(args, "pipeline_unroll", 1) != 1:
+        suffix += f"_pu{args.pipeline_unroll}"
+    if args.compute_dtype == "bfloat16":
+        suffix += "_bf16c"
+    return suffix
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=64)
@@ -505,6 +519,11 @@ def main():
         parser.error("--fused conflicts with --eval/--multi-seed/"
                      "--data-parallel (it would silently measure fused "
                      "training instead)")
+    if args.pipeline_unroll != 1 and (args.eval or args.multi_seed
+                                      or args.data_parallel):
+        parser.error("--pipeline-unroll only applies to the fused training "
+                     "pipeline (the other modes would silently ignore it "
+                     "while the metric name claimed it)")
 
     # refresh/create the CPU baseline FIRST — every mode's vs_baseline
     # divides by it (and --measure-cpu must work regardless of mode).
@@ -546,13 +565,7 @@ def main():
         if os.path.exists(BASELINE_FILE):
             with open(BASELINE_FILE) as f:
                 baseline = json.load(f)["train_b64"]["images_per_sec"]
-        suffix = "" if args.config == "default" else f"_{args.config}"
-        if args.st_impl != "xla":
-            suffix += f"_{args.st_impl}"
-        if args.pipeline_unroll != 1:
-            suffix += f"_pu{args.pipeline_unroll}"
-        if args.compute_dtype == "bfloat16":
-            suffix += "_bf16c"
+        suffix = metric_suffix(args)
         print(json.dumps({
             "metric": f"multi_mnist_train_fused{r['multi_step']}"
                       f"_images_per_sec_b{args.batch_size}{suffix}",
@@ -585,7 +598,7 @@ def main():
               f"{speedup:.2f}x of {S}x ideal", file=sys.stderr)
         print(json.dumps({
             "metric": f"multi_mnist_train_seedparallel{S}_images_per_sec"
-                      f"_b{args.batch_size}",
+                      f"_b{args.batch_size}{metric_suffix(args)}",
             "value": round(multi["images_per_sec"], 1),
             "unit": f"aggregate images/sec across {S} vmapped replicas "
                     f"(sweep speedup {speedup:.2f}x vs sequential)",

@@ -1,10 +1,14 @@
-"""RESULTS.md headline-union provenance (VERDICT r3 weak #7).
+"""RESULTS.md headline-claim provenance (VERDICT r3 weak #7, r4 weak #1).
 
-The per-seed union tables are the repo's headline robustness statistic.
-These tests recompute each union mechanically from the committed sweep
-ledgers (scripts/check_provenance.py) and cross-check the tables in
-RESULTS.md against them: no table cell may claim more than the ledger
-evidence supports, and the headline convergence counts must hold.
+The per-seed union tables and the 19-texture map are the repo's headline
+robustness statistics. These tests recompute each mechanically from the
+committed ledgers (scripts/check_provenance.py) and cross-check the
+tables in RESULTS.md against them: no table cell may claim more than the
+ledger evidence supports, the headline convergence counts must hold, and
+every sweep tag / ledger path cited anywhere in RESULTS.md or README.md
+must resolve to completed on-disk rows (round 4 shipped a citation to a
+sweep that never ran — this file is the regression test for that class
+of drift).
 """
 
 import os
@@ -21,6 +25,11 @@ TOL = 5e-4  # table cells are rounded to 3 decimals
 
 def _results_text():
     with open(os.path.join(REPO, "RESULTS.md")) as f:
+        return f.read()
+
+
+def _readme_text():
+    with open(os.path.join(REPO, "README.md")) as f:
         return f.read()
 
 
@@ -44,6 +53,22 @@ def _parse_real_union_row(text):
     vals = [float(v) for v in m.group(1).replace("|", " ").split()]
     assert len(vals) == 10
     return dict(enumerate(vals))
+
+
+def _parse_texture_table(text):
+    """The 19-texture map: '| texture | seed-0 run | @ step | restarts |
+    seed-1 re-roll | union | ink lost |' rows -> {texture: (one_run,
+    union)}."""
+    m = re.search(
+        r"\| texture \| seed-0 run \| @ step \| restarts \|"
+        r" seed-1 re-roll \| union \| ink lost \|\n\|[-| ]+\|\n"
+        r"((?:\|.*\n)+)", text)
+    assert m, "19-texture table not found in RESULTS.md"
+    rows = {}
+    for line in m.group(1).strip().splitlines():
+        cells = [c.strip().strip("*") for c in line.strip("|").split("|")]
+        rows[cells[0]] = (float(cells[1]), float(cells[5]))
+    return rows
 
 
 def test_raw_pixel_synthetic_union():
@@ -74,6 +99,52 @@ def test_real_handwriting_union():
 def test_real_raw_pixel_union_count():
     ledger = check_provenance.union(
         check_provenance.UNIONS["real_raw_pixel"], REPO)
-    # RESULTS.md claims a 6/10 raw-pixel-on-real union; ledgers may only
+    # RESULTS.md claims a 7/10 raw-pixel-on-real union; ledgers may only
     # ever improve on it.
-    assert sum(a >= 0.98 for a in ledger.values()) >= 6
+    assert sum(a >= 0.98 for a in ledger.values()) >= 7
+
+
+def test_texture_map_table():
+    """Every cell of the 19-texture table is backed by a committed
+    ledger, and the headline counts hold."""
+    ledger = check_provenance.texture_map(REPO)
+    table = _parse_texture_table(_results_text())
+    assert set(table) == set(check_provenance.TEXTURES), (
+        "table rows != the 19 reference textures")
+    for tex, (one_run, union_best) in table.items():
+        lg = ledger[tex]
+        assert abs(lg["one_run"] - one_run) <= TOL, (
+            f"{tex}: RESULTS.md seed-0 cell {one_run} != ledger "
+            f"{lg['one_run']}")
+        assert lg["union"] >= union_best - TOL, (
+            f"{tex}: RESULTS.md union cell {union_best} exceeds ledger "
+            f"best {lg['union']}")
+    # Headline counts (RESULTS.md + README): one-run 17/19 >= 0.95 with
+    # 13 at the 0.98 stop target; union >= 18/19 and >= 14 at 0.98.
+    assert sum(v["one_run"] >= 0.95 for v in ledger.values()) >= 17
+    assert sum(v["one_run"] >= 0.98 for v in ledger.values()) >= 13
+    assert sum(v["union"] >= 0.95 for v in ledger.values()) >= 18
+    assert sum(v["union"] >= 0.98 for v in ledger.values()) >= 14
+
+
+def test_every_cited_tag_and_ledger_path_resolves():
+    """Every sweep tag cited in RESULTS.md/README.md has at least one
+    COMPLETED row in a committed ledger, and every cited
+    harder_runs/ledgers path exists (the round-4 drift class)."""
+    problems = check_provenance.check_citations(REPO)
+    assert not problems, "\n".join(problems)
+
+
+def test_citation_scanner_sees_known_tags():
+    """Guard the scanner itself: if the tag regex rots, the resolution
+    test above would pass vacuously."""
+    text = _results_text()
+    found = check_provenance.cited_tags(text)
+    for known in ("vmap_hold15000_cnn", "vmap_real_scalecur_reroll",
+                  "patience_spc", "rescue_spc_rot"):
+        assert known in found, f"scanner no longer sees `{known}`"
+    paths = check_provenance.cited_ledger_paths(text)
+    assert any("r4_scaled_train.json" in p for p in paths)
+    # the brace shorthand must expand
+    assert any("r4_ref_gray1_cnn.json" in p for p in paths), (
+        "brace-expansion of ledger paths broke")
