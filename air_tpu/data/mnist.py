@@ -153,14 +153,49 @@ def synthesize_mnist(n: int = 60000, seed: int = 0):
     return images, labels
 
 
-def load_sklearn_digits(target_ink_size: int = 20):
+def _cubic_kernel(t: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic convolution weights (a=-0.5, the standard
+    bicubic kernel) for |t| in [0, 2)."""
+    a = -0.5
+    t = np.abs(t)
+    w = np.where(
+        t <= 1.0,
+        (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1,
+        np.where(t < 2.0, a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a,
+                 0.0))
+    return w.astype(np.float32)
+
+
+def _upsample_weights(k: int, src: int, interp: str) -> np.ndarray:
+    """[k, src] separable upsampling matrix sampling source pixel centers
+    (edge-clamped). interp: 'bilinear' (hat) or 'bicubic' (Catmull-Rom,
+    rows renormalized where the clamp truncates the support)."""
+    coords = (np.arange(k, dtype=np.float32) + 0.5) * (src / k) - 0.5
+    coords = np.clip(coords, 0.0, src - 1.0)
+    idx = np.arange(src, dtype=np.float32)
+    t = coords[:, None] - idx[None, :]               # [k, src]
+    if interp == "bilinear":
+        w = np.maximum(0.0, 1.0 - np.abs(t)).astype(np.float32)
+    elif interp == "bicubic":
+        w = _cubic_kernel(t)
+    else:
+        raise ValueError(f"unknown interp {interp!r}")
+    return w / w.sum(axis=1, keepdims=True)
+
+
+def load_sklearn_digits(target_ink_size: int = 20,
+                        interp: str = "bilinear"):
     """The 1797 REAL handwritten digits bundled with scikit-learn (UCI
     optdigits test set: 8x8 grayscale, values 0-16, ~180 per class) —
     the only genuinely handwritten digit data available in a zero-egress
-    image. Each 8x8 glyph is bilinearly upsampled to
-    ``target_ink_size``² and pasted centered in the MNIST 28x28 frame
-    (MNIST ink occupies ~20x20 of its frame), giving drop-in
-    replacements for ``load_mnist`` output.
+    image. Each 8x8 glyph is upsampled to ``target_ink_size``² and
+    pasted centered in the MNIST 28x28 frame (MNIST ink occupies ~20x20
+    of its frame), giving drop-in replacements for ``load_mnist`` output.
+
+    ``interp``: 'bilinear' (default — the shipped round-4 datasets) or
+    'bicubic' (Catmull-Rom: smoother stroke edges without the piecewise-
+    linear facets 2.5x bilinear upsampling leaves; a data-fidelity ARM,
+    not a union member — RESULTS.md round-5 raw-pixel-on-real campaign).
 
     Returns (images [1797, 784] float32 in [0,1], labels [1797] int32).
     """
@@ -170,17 +205,25 @@ def load_sklearn_digits(target_ink_size: int = 20):
     n = len(d.images)
     src = d.images.astype(np.float32) / 16.0
 
-    # vectorized bilinear 8x8 -> kxk: sample source at pixel centers
     k = target_ink_size
-    coords = (np.arange(k, dtype=np.float32) + 0.5) * (8.0 / k) - 0.5
-    coords = np.clip(coords, 0.0, 7.0)
-    i0 = np.minimum(coords.astype(np.int32), 6)
-    frac = coords - i0
-    # rows then cols (separable)
-    rows = (src[:, i0, :] * (1 - frac)[None, :, None]
-            + src[:, i0 + 1, :] * frac[None, :, None])
-    up = (rows[:, :, i0] * (1 - frac)[None, None, :]
-          + rows[:, :, i0 + 1] * frac[None, None, :])
+    if interp == "bilinear":
+        # vectorized bilinear 8x8 -> kxk sampled at pixel centers — kept
+        # bit-identical to the round-4 path so the shipped
+        # real_digits*_data datasets regenerate exactly
+        coords = (np.arange(k, dtype=np.float32) + 0.5) * (8.0 / k) - 0.5
+        coords = np.clip(coords, 0.0, 7.0)
+        i0 = np.minimum(coords.astype(np.int32), 6)
+        frac = coords - i0
+        # rows then cols (separable)
+        rows = (src[:, i0, :] * (1 - frac)[None, :, None]
+                + src[:, i0 + 1, :] * frac[None, :, None])
+        up = (rows[:, :, i0] * (1 - frac)[None, None, :]
+              + rows[:, :, i0 + 1] * frac[None, None, :])
+    else:
+        W = _upsample_weights(k, 8, interp)          # [k, 8]
+        up = np.einsum("ki,nij,lj->nkl", W, src, W)
+        # cubic lobes overshoot at hard edges; stay in [0, 1] pre-scale
+        up = np.clip(up, 0.0, 1.0)
 
     pad = (IMAGE_SIZE - k) // 2
     images = np.zeros((n, IMAGE_SIZE, IMAGE_SIZE), np.float32)

@@ -122,17 +122,42 @@ def init_air_params(key: jax.Array, config: AIRConfig,
     return params
 
 
-def _step(params: dict, config: AIRConfig, hp: dict,
-          images_2d: jnp.ndarray, rnn_input: jnp.ndarray,
-          train: bool, carry, key: jax.Array):
-    """One attention step — the reference while_loop ``body``
-    (reference air/air_model.py:278-508), order preserved exactly."""
-    lstm_state, stopping_sum, running_recon, running_loss, running_digits = carry
+class _Attend(NamedTuple):
+    """Everything one attention step computes from the LSTM output —
+    independent of the stop-mask carry (stopping_sum / canvas / loss),
+    which is exactly why the decoder can run step-parallel (see
+    ``decoder_layout``)."""
+    scale: jnp.ndarray
+    shift: jnp.ndarray
+    z_pres_prob: jnp.ndarray
+    z_pres: jnp.ndarray
+    z_pres_kl: jnp.ndarray
+    scale_kl: jnp.ndarray
+    shift_kl: jnp.ndarray
+    vae_kl: jnp.ndarray
+    theta_back: jnp.ndarray
+    vae_recon: jnp.ndarray
+    vae_latent: jnp.ndarray
+    window_recon: Any          # [B, cs*cs] on the XLA path; None on Pallas
+    s: jnp.ndarray             # window scale/position scalars — the Pallas
+    x: jnp.ndarray             # fused write+accumulate consumes these with
+    y: jnp.ndarray             # vae_recon instead of window_recon
+
+
+def _attend(params: dict, config: AIRConfig, hp: dict,
+            images_2d: jnp.ndarray, outputs: jnp.ndarray,
+            train: bool, key: jax.Array) -> _Attend:
+    """The carry-independent body of one attention step: heads, sampling,
+    forward/backward spatial transforms, VAE, and per-step KLs — the
+    reference while_loop body (air/air_model.py:288-496) minus the
+    stop-mask bookkeeping, which the caller applies (sequentially in
+    ``_step``; via cumulative masks in the step-parallel decoder).
+
+    ``outputs`` is the LSTM output for this step ([B, rnn_units])."""
     k_scale, k_shift, k_vae, k_zpres = jax.random.split(key, 4)
     batch = images_2d.shape[0]
     ws = config.windows_size
     cs = config.canvas_size
-    threshold = hp["stopping_threshold"]
 
     use_pallas = config.st_impl in ("pallas", "inline")
     if use_pallas:
@@ -153,11 +178,10 @@ def _step(params: dict, config: AIRConfig, hp: dict,
         st_write = functools.partial(attention_write,
                                      pad_mode=config.st_pad_mode)
 
-    # RNN time step (air/air_model.py:284-286). Under mixed precision
-    # (config.compute_dtype) the LSTM and the heads below run in bf16;
-    # every head OUTPUT is promoted to fp32 before sampling/KL so the
-    # distribution math and the ST stay full-precision. The params are
-    # cast PER USE *inside* the scan body (not hoisted to air_forward) so
+    # Under mixed precision (config.compute_dtype) the heads/VAE below run
+    # in bf16; every head OUTPUT is promoted to fp32 before sampling/KL so
+    # the distribution math and the ST stay full-precision. The params are
+    # cast PER USE *inside* the step body (not hoisted to air_forward) so
     # the scan transpose sums the per-step parameter cotangents in fp32 —
     # a cast hoisted outside the scan makes that cross-step accumulation
     # happen in bf16, which measurably degrades the localization bootstrap
@@ -168,9 +192,6 @@ def _step(params: dict, config: AIRConfig, hp: dict,
 
     def cast(tree):
         return jax.tree_util.tree_map(lambda a: a.astype(cdt), tree)
-
-    outputs, lstm_state = lstm_apply(cast(params["lstm"]), lstm_state,
-                                     rnn_input.astype(cdt))
 
     # scale head: sample -> sigmoid (air/air_model.py:288-303)
     scale_mean = two_layer_head_apply(
@@ -230,22 +251,62 @@ def _step(params: dict, config: AIRConfig, hp: dict,
         z_pres = jnp.round(z_pres)
     z_pres_prob = jax.nn.sigmoid(z_pres_log_odds)
 
-    # z_pres KL, masked by the PRE-update stopping_sum
-    # (air/air_model.py:398-418)
+    # per-step KLs; the caller applies the stop masks
+    # (air/air_model.py:398-418, 441-496)
     z_pres_kl = concrete_binary_kl_mc_sample(
         z_pres_pre_sigmoid,
         hp["z_pres_prior_log_odds"], hp["z_pres_temperature"],
         z_pres_log_odds, hp["z_pres_temperature"])
-    running_loss += jnp.where(stopping_sum < threshold, z_pres_kl, 0.0)
+    scale_kl = gaussian_kl(scale_mean, scale_log_variance,
+                           hp["scale_prior_mean"], hp["scale_prior_variance"])
+    shift_kl = gaussian_kl(shift_mean, shift_log_variance,
+                           hp["shift_prior_mean"], hp["shift_prior_variance"])
+    vae_kl = gaussian_kl(vae_mean, vae_log_variance,
+                         hp["vae_prior_mean"], hp["vae_prior_variance"])
+
+    return _Attend(scale, shift, z_pres_prob, z_pres, z_pres_kl,
+                   scale_kl, shift_kl, vae_kl, theta_back, vae_recon,
+                   vae_latent,
+                   None if use_pallas else window_recon.reshape(batch,
+                                                                cs * cs),
+                   s, x, y)
+
+
+def _step(params: dict, config: AIRConfig, hp: dict,
+          images_2d: jnp.ndarray, rnn_input: jnp.ndarray,
+          train: bool, carry, key: jax.Array):
+    """One attention step — the reference while_loop ``body``
+    (reference air/air_model.py:278-508), order preserved exactly:
+    the RNN time step, the carry-independent attention body
+    (:func:`_attend`), then the stop-mask bookkeeping."""
+    lstm_state, stopping_sum, running_recon, running_loss, running_digits = \
+        carry
+    batch = images_2d.shape[0]
+    ws = config.windows_size
+    cs = config.canvas_size
+    threshold = hp["stopping_threshold"]
+    cdt = jnp.dtype(config.compute_dtype)
+
+    # RNN time step (air/air_model.py:284-286); params cast per use inside
+    # the scan body (see the _attend precision comment)
+    outputs, lstm_state = lstm_apply(
+        jax.tree_util.tree_map(lambda a: a.astype(cdt), params["lstm"]),
+        lstm_state, rnn_input.astype(cdt))
+
+    a = _attend(params, config, hp, images_2d, outputs, train, key)
+
+    # z_pres KL, masked by the PRE-update stopping_sum
+    # (air/air_model.py:398-418)
+    running_loss += jnp.where(stopping_sum < threshold, a.z_pres_kl, 0.0)
 
     # stopping sum and digit count updates (air/air_model.py:420-427)
-    stopping_sum = stopping_sum + (1.0 - z_pres)
+    stopping_sum = stopping_sum + (1.0 - a.z_pres)
     alive = stopping_sum < threshold
     running_digits = running_digits + alive.astype(jnp.int32)
 
     # canvas += z_pres * window_recon for unfinished items
     # (air/air_model.py:429-439) — the continuous-relaxation trick
-    if use_pallas:
+    if config.st_impl in ("pallas", "inline"):
         # fused attention-write + masked accumulate: coeff = alive * z_pres
         # is exactly where(alive, z_pres * wr, 0)
         if config.st_impl == "inline":
@@ -255,32 +316,23 @@ def _step(params: dict, config: AIRConfig, hp: dict,
             from air_tpu.kernels.st_fused import fused_write_accumulate
             fused = fused_write_accumulate
         running_recon = fused(
-            running_recon, vae_recon.reshape(batch, ws, ws), s, x, y,
-            alive.astype(z_pres.dtype) * z_pres, cs)
+            running_recon, a.vae_recon.reshape(batch, ws, ws),
+            a.s, a.x, a.y, alive.astype(a.z_pres.dtype) * a.z_pres, cs)
     else:
         running_recon += jnp.where(
-            alive[:, None],
-            z_pres[:, None] * window_recon.reshape(batch, cs * cs),
-            0.0)
+            alive[:, None], a.z_pres[:, None] * a.window_recon, 0.0)
 
     # scale / shift / VAE closed-form KLs, masked by POST-update sum
     # (air/air_model.py:441-496)
-    scale_kl = gaussian_kl(scale_mean, scale_log_variance,
-                           hp["scale_prior_mean"], hp["scale_prior_variance"])
-    running_loss += jnp.where(alive, scale_kl, 0.0)
-
-    shift_kl = gaussian_kl(shift_mean, shift_log_variance,
-                           hp["shift_prior_mean"], hp["shift_prior_variance"])
-    running_loss += jnp.where(alive, shift_kl, 0.0)
-
-    vae_kl = gaussian_kl(vae_mean, vae_log_variance,
-                         hp["vae_prior_mean"], hp["vae_prior_variance"])
-    running_loss += jnp.where(alive, vae_kl, 0.0)
+    running_loss += jnp.where(alive, a.scale_kl, 0.0)
+    running_loss += jnp.where(alive, a.shift_kl, 0.0)
+    running_loss += jnp.where(alive, a.vae_kl, 0.0)
 
     carry = (lstm_state, stopping_sum, running_recon, running_loss,
              running_digits)
-    ys = (scale, shift, z_pres_prob, z_pres, z_pres_kl,
-          scale_kl, shift_kl, vae_kl, theta_back, vae_recon, vae_latent)
+    ys = (a.scale, a.shift, a.z_pres_prob, a.z_pres, a.z_pres_kl,
+          a.scale_kl, a.shift_kl, a.vae_kl, a.theta_back, a.vae_recon,
+          a.vae_latent)
     return carry, ys
 
 
@@ -344,22 +396,81 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
             (batch, cs * cs))
     else:
         init_recon = jnp.zeros((batch, cs * cs), images.dtype)
-    init_carry = (
-        lstm_zero_state(batch, config.rnn_units, cdt),
-        jnp.zeros((batch,), images.dtype),            # stopping_sum
-        init_recon,                                   # running_recon
-        jnp.zeros((batch,), images.dtype),            # running_loss
-        jnp.zeros((batch,), jnp.int32),               # running_digits
-    )
     step_keys = jax.random.split(key, config.max_steps)
 
-    def body(carry, k):
-        return _step(params, config, hp, images_2d, rnn_input, train,
-                     carry, k)
+    if config.decoder_layout == "stepparallel":
+        # Step-parallel decomposition (TPU-native restructuring, no
+        # reference counterpart): the LSTM recurrence is AUTONOMOUS — its
+        # input is the same encoding every step (reference
+        # air/air_model.py:284-286) and nothing downstream (z_pres,
+        # stopping) feeds back into its state — so only the tiny
+        # [B, units] @ [units+in, 4*units] chain is sequential. The heavy
+        # per-step work (heads, sampling, both spatial transforms, the
+        # VAE) runs vmapped over steps: XLA batches each weight matmul to
+        # [T*B] rows — max_steps-times larger MXU tiles, the weight
+        # streamed ONCE instead of per step, and a max_steps-times
+        # shorter critical path of small ops. The stop-mask bookkeeping
+        # becomes cumulative sums over the step axis (identical masking
+        # algebra: pre/post stopping_sum from cumsum of 1 - z_pres).
+        # Per-step RNG keys are split exactly as the scan path, so all
+        # sampled draws are bit-identical; only reduction/batching order
+        # differs (same numerics class as scan_unroll — NOT pinned for
+        # the raw-pixel bootstrap, see pin_raw_pixel_numerics).
+        if config.st_impl != "xla":
+            raise ValueError("decoder_layout='stepparallel' requires "
+                             "st_impl='xla' (the Pallas write kernel is "
+                             "fused with the sequential canvas carry)")
 
-    carry, ys = jax.lax.scan(body, init_carry, step_keys,
-                             unroll=config.scan_unroll)
-    (_, _, running_recon, running_loss, running_digits) = carry
+        def lstm_body(lstm_state, _):
+            out, lstm_state = lstm_apply(
+                jax.tree_util.tree_map(lambda a: a.astype(cdt),
+                                       params["lstm"]),
+                lstm_state, rnn_input.astype(cdt))
+            return lstm_state, out
+
+        _, outputs_T = jax.lax.scan(
+            lstm_body, lstm_zero_state(batch, config.rnn_units, cdt),
+            None, length=config.max_steps, unroll=config.max_steps)
+
+        a = jax.vmap(
+            lambda o, k: _attend(params, config, hp, images_2d, o,
+                                 train, k),
+            in_axes=(0, 0))(outputs_T, step_keys)     # [T, B, ...] fields
+
+        threshold = hp["stopping_threshold"]
+        one_minus_zp = 1.0 - a.z_pres                  # [T, B]
+        stopping_post = jnp.cumsum(one_minus_zp, axis=0)
+        stopping_pre = stopping_post - one_minus_zp
+        pre_mask = stopping_pre < threshold            # z_pres-KL mask
+        alive = stopping_post < threshold              # all other masks
+
+        running_loss = (
+            jnp.sum(jnp.where(pre_mask, a.z_pres_kl, 0.0), axis=0)
+            + jnp.sum(jnp.where(alive, a.scale_kl + a.shift_kl + a.vae_kl,
+                                0.0), axis=0))
+        running_digits = jnp.sum(alive.astype(jnp.int32), axis=0)
+        running_recon = init_recon + jnp.sum(
+            jnp.where(alive[:, :, None],
+                      a.z_pres[:, :, None] * a.window_recon, 0.0), axis=0)
+        ys = (a.scale, a.shift, a.z_pres_prob, a.z_pres, a.z_pres_kl,
+              a.scale_kl, a.shift_kl, a.vae_kl, a.theta_back, a.vae_recon,
+              a.vae_latent)
+    else:
+        init_carry = (
+            lstm_zero_state(batch, config.rnn_units, cdt),
+            jnp.zeros((batch,), images.dtype),            # stopping_sum
+            init_recon,                                   # running_recon
+            jnp.zeros((batch,), images.dtype),            # running_loss
+            jnp.zeros((batch,), jnp.int32),               # running_digits
+        )
+
+        def body(carry, k):
+            return _step(params, config, hp, images_2d, rnn_input, train,
+                         carry, k)
+
+        carry, ys = jax.lax.scan(body, init_carry, step_keys,
+                                 unroll=config.scan_unroll)
+        (_, _, running_recon, running_loss, running_digits) = carry
     (scales, shifts, z_pres_probs, z_pres, z_pres_kls,
      scale_kls, shift_kls, vae_kls, st_back, windows, latents) = ys
 

@@ -117,6 +117,18 @@ class AIRConfig:
     # accumulation bf16 and cost 3/10 seeds — RESULTS.md round-4
     # mixed-precision section has the A/B evidence).
     compute_dtype: str = "float32"
+    # Decoder layout ("scan" | "stepparallel"). "scan" is the reference-
+    # shaped sequential attention loop. "stepparallel" exploits that the
+    # AIR recurrence is AUTONOMOUS (constant RNN input each step, no
+    # z_pres feedback into the LSTM state): only the tiny LSTM chain runs
+    # sequentially; heads/sampling/STs/VAE are vmapped over steps so XLA
+    # batches every weight matmul to [max_steps*B] rows (bigger MXU
+    # tiles, each weight streamed once per iteration, max_steps-times
+    # shorter small-op critical path), and the stop masks become cumsums.
+    # Sampled draws are bit-identical to the scan path (same per-step
+    # keys); batching/reduction order differs, so this is a fusion-
+    # numerics knob like scan_unroll (models/air.py stepparallel branch).
+    decoder_layout: str = "scan"
     # harder-scenes extension (no reference counterpart): learn a static
     # background canvas. The generator composites ONE background texture
     # into every image (reference multi_mnist.py:319-334: read once, added
@@ -127,6 +139,15 @@ class AIRConfig:
     # static background is absorbed by a dedicated parameter and attention
     # steps stay digit-only.
     learn_background: bool = False
+    # Oracle knob for background-failure attribution: freeze
+    # params["background"] at its init (its gradient is zeroed BEFORE
+    # global-norm clipping, so a frozen background influences nothing).
+    # With --bg-init data the init is the exact composited texture on
+    # deterministic-compositing datasets, so freeze_background trains
+    # against a PERFECT, immovable background — if counting still fails,
+    # the failure is an information ceiling of the composited scenes, not
+    # background-learning optimization (RESULTS.md abstract1 oracle).
+    freeze_background: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "vae_recognition_units",
@@ -139,6 +160,9 @@ class AIRConfig:
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"compute_dtype must be 'float32' or "
                              f"'bfloat16', got {self.compute_dtype!r}")
+        if self.decoder_layout not in ("scan", "stepparallel"):
+            raise ValueError(f"decoder_layout must be 'scan' or "
+                             f"'stepparallel', got {self.decoder_layout!r}")
 
     @property
     def schedules(self) -> dict:

@@ -153,7 +153,7 @@ def set_replica_knobs(knobs_S: dict, index: int, knobs: dict) -> dict:
 
 def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
                          donate=True, bg_image=None, bg_schedule=None,
-                         knob_schedules=False):
+                         knob_schedules=False, pipeline_unroll: int = 1):
     """Build a jitted ``(state_S, images, digits, perms_S, start) ->
     (state_S, metrics)`` running ``num_steps`` fused train steps for every
     replica. ``images``/``digits`` are the SHARED device-resident dataset;
@@ -163,7 +163,11 @@ def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
     ``knob_schedules=True`` adds a trailing ``knobs_S`` argument (dict of
     [S] f32 arrays, see :func:`rotation_knobs`) giving each replica its own
     bootstrap-schedule variant — the vmap equivalent of the sequential
-    Trainer's restart schedule rotation."""
+    Trainer's restart schedule rotation.
+
+    ``pipeline_unroll`` unrolls the K-step scan across optimizer steps,
+    the same fusion-scope knob as ``fast_pipeline.make_pipeline_step``
+    (NOT convergence-neutral — RESULTS.md round-4 pipeline_unroll)."""
     schedules_fn = None
     if knob_schedules:
         base = config.schedules
@@ -182,7 +186,8 @@ def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
                 return vstep(state_S, jnp.take(images, idx, axis=0),
                              jnp.take(digits, idx, axis=0), knobs_S)
 
-            return jax.lax.scan(body, state_S, jnp.arange(num_steps))
+            return jax.lax.scan(body, state_S, jnp.arange(num_steps),
+                                unroll=pipeline_unroll)
     else:
         vstep = jax.vmap(single, in_axes=(0, 0, 0))
 
@@ -195,7 +200,8 @@ def make_multi_seed_step(config: AIRConfig, num_steps: int, batch_size: int,
                 batch_digits = jnp.take(digits, idx, axis=0)   # [S, B]
                 return vstep(state_S, batch_images, batch_digits)
 
-            return jax.lax.scan(body, state_S, jnp.arange(num_steps))
+            return jax.lax.scan(body, state_S, jnp.arange(num_steps),
+                                unroll=pipeline_unroll)
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 

@@ -87,6 +87,14 @@ def make_optimizer(config: AIRConfig) -> optax.GradientTransformation:
     else:
         lr = config.learning_rate
     parts = []
+    if getattr(config, "freeze_background", False):
+        if not config.learn_background:
+            raise ValueError("freeze_background requires learn_background")
+        # zero the background gradient FIRST so the frozen parameter
+        # neither moves nor skews the global-norm clip of the live ones
+        parts.append(optax.masked(
+            optax.set_to_zero(),
+            lambda params: {k: k == "background" for k in params}))
     if config.gradient_clipping_norm is not None:
         parts.append(optax.clip_by_global_norm(config.gradient_clipping_norm))
     if getattr(config, "adam_storage_dtype", "float32") == "bfloat16":

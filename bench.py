@@ -445,6 +445,8 @@ def metric_suffix(args) -> str:
         suffix += f"_pu{args.pipeline_unroll}"
     if args.compute_dtype == "bfloat16":
         suffix += "_bf16c"
+    if args.decoder_layout == "stepparallel":
+        suffix += "_sp"
     return suffix
 
 
@@ -505,6 +507,13 @@ def main():
                              "scan (fuses across optimizer steps; attacks "
                              "the batch-independent param/moment HBM "
                              "round-trip per inner step)")
+    parser.add_argument("--decoder-layout", default=None,
+                        choices=["scan", "stepparallel"],
+                        help="AIR decoder layout: 'stepparallel' runs the "
+                             "heads/STs/VAE vmapped over attention steps "
+                             "(only the tiny LSTM chain is sequential — "
+                             "AIRConfig.decoder_layout). Default: the "
+                             "shipped config default (scan)")
     args = parser.parse_args()
     global ST_IMPL
     ST_IMPL = args.st_impl
@@ -514,6 +523,8 @@ def main():
         CFG_OVERRIDES["scan_unroll"] = args.unroll
     if args.compute_dtype is not None:
         CFG_OVERRIDES["compute_dtype"] = args.compute_dtype
+    if args.decoder_layout is not None:
+        CFG_OVERRIDES["decoder_layout"] = args.decoder_layout
 
     if args.fused and (args.eval or args.multi_seed or args.data_parallel):
         parser.error("--fused conflicts with --eval/--multi-seed/"

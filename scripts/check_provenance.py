@@ -61,11 +61,15 @@ UNIONS = {
     # S=1 re-rolls and the round-5 raw-pixel-specific remedies — the
     # missing _reroll tag here is how the 6/10-vs-7/10 doc drift slipped
     # past round 4's provenance test).
+    # Schedule variants (h30k) and program-shape re-rolls (S=1/S=3) are
+    # legitimate union members ("restarts permitted" grants schedule and
+    # attempt freedom); the bicubic arm is NOT — it changes the dataset,
+    # so it gets its own table, never a union row.
     "real_raw_pixel": [
         ("sweep_real/results.jsonl",
          {"vmap_real_hold15000_scalecur", "vmap_real_scalecur_rescue",
           "vmap_real_scalecur_reroll", "vmap_real_scalecur_h30k",
-          "vmap_real_scalecur_bicubic", "vmap_real_scalecur_reroll3"}),
+          "vmap_real_scalecur_reroll3"}),
     ],
 }
 

@@ -45,6 +45,13 @@ def main():
                              "if present, else synthetic glyphs. sklearn: "
                              "the 1797 REAL handwritten UCI digits bundled "
                              "with scikit-learn (upsampled 8x8 -> 28x28)")
+    parser.add_argument("--upsample", default="bilinear",
+                        choices=["bilinear", "bicubic"],
+                        help="sklearn 8x8 -> 28x28 glyph upsampling: "
+                             "bilinear (the shipped round-4 datasets) or "
+                             "bicubic (Catmull-Rom; smoother stroke edges "
+                             "— a data-fidelity arm, generates a SEPARATE "
+                             "dataset that never feeds the union tables)")
     parser.add_argument("--digit-slice", default="",
                         help="a:b slice of the digit pool (after a "
                              "seed-0 shuffle), e.g. ':1400' / '1400:' — "
@@ -55,8 +62,8 @@ def main():
 
     if args.source == "sklearn":
         from air_tpu.data.mnist import load_sklearn_digits
-        digits, labels = load_sklearn_digits()
-        source = "sklearn-real-handwritten"
+        digits, labels = load_sklearn_digits(interp=args.upsample)
+        source = f"sklearn-real-handwritten ({args.upsample})"
     else:
         digits, labels, source = get_mnist(args.mnist_folder)
     if args.digit_slice:

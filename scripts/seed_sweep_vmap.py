@@ -89,6 +89,21 @@ def main():
                         "(AIRConfig.compute_dtype: bf16 CNN/LSTM/heads/"
                         "VAE, fp32 sampling/KL/ST/canvas) — convergence "
                         "sweeps for the round-4 mixed-precision evidence")
+    p.add_argument("--pipeline-unroll", type=int, default=1,
+                   help="unroll the K-step fused scan across optimizer "
+                        "steps (same fusion-scope knob as training.py "
+                        "--pipeline-unroll; NOT convergence-neutral — "
+                        "RESULTS.md round-4 pipeline_unroll)")
+    p.add_argument("--decoder-layout", default=None,
+                   choices=["scan", "stepparallel"],
+                   help="AIR decoder layout (AIRConfig.decoder_layout): "
+                        "'stepparallel' vmaps heads/STs/VAE over attention "
+                        "steps — scan_unroll-class fusion numerics")
+    p.add_argument("--anneal-iters", type=int, default=None,
+                   help="decade length (iterations per 10x decay) of the "
+                        "z_pres prior log-odds schedule; default keeps the "
+                        "reference 3000 (slower decay = a gentler "
+                        "bootstrap, a raw-pixel-on-real remedy arm)")
     p.add_argument("--tag", default=None)
     args = p.parse_args()
     if args.attempt_stride == 0:
@@ -116,6 +131,8 @@ def main():
     sched = DEFAULT_TRAINING_CONFIG.schedules
     if args.hold:
         sched["z_pres_prior_log_odds"]["hold"] = args.hold
+    if args.anneal_iters:
+        sched["z_pres_prior_log_odds"]["iters"] = args.anneal_iters
     if args.scale_curriculum and not args.rotate:
         # same overlay as trainer.DEFAULT_RESTART_ROTATION[1], but on the
         # base attempt; delayed by the hold so the coarse->fine walk spans
@@ -130,14 +147,20 @@ def main():
         # (RESULTS.md round-3 unroll attribution)
         **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll),
         **({"compute_dtype": args.compute_dtype}
-           if args.compute_dtype else {}))
-    tag = args.tag or ("vmap_hold%d%s%s%s%s%s%s" % (
+           if args.compute_dtype else {}),
+        **({"decoder_layout": args.decoder_layout}
+           if args.decoder_layout else {}))
+    tag = args.tag or ("vmap_hold%d%s%s%s%s%s%s%s%s%s" % (
         args.hold, "_cnn" if args.cnn else "",
         "_scalecur" if args.scale_curriculum else "",
         "_rot" if args.rotate else "",
         "_" + args.adam_dtype if args.adam_dtype else "",
         "_unroll%d" % args.unroll if args.unroll is not None else "",
-        "_bf16c" if args.compute_dtype == "bfloat16" else ""))
+        "_bf16c" if args.compute_dtype == "bfloat16" else "",
+        "_pu%d" % args.pipeline_unroll
+        if args.pipeline_unroll != 1 else "",
+        "_ai%d" % args.anneal_iters if args.anneal_iters else "",
+        "_sp" if args.decoder_layout == "stepparallel" else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)
@@ -159,7 +182,8 @@ def main():
     S = len(args.seeds)
     seeds = list(args.seeds)           # current data/param seed per replica
     state = create_multi_seed_state(cfg, seeds)
-    multi = make_multi_seed_step(cfg, K, B, knob_schedules=bool(args.rotate))
+    multi = make_multi_seed_step(cfg, K, B, knob_schedules=bool(args.rotate),
+                                 pipeline_unroll=args.pipeline_unroll)
     eval_fn = make_multi_seed_eval(cfg, knob_schedules=bool(args.rotate))
     knobs_S = None
     if args.rotate:

@@ -264,3 +264,40 @@ def test_prepare_background_matches_generator_texture(tmp_path):
     out = generate_dataset(digits, labels.astype(np.int32), cfg)
     scene = np.asarray(out["common"]["images"][0], np.float32).reshape(50, 50)
     np.testing.assert_allclose(scene, bg, atol=1.5e-2)  # uint8 round-trip
+
+
+# -- freeze_background (abstract1 oracle knob) -------------------------------
+
+def test_freeze_background_pins_param_and_trains_others():
+    """With freeze_background the background parameter is bit-frozen at
+    its init while every other parameter still updates (the gradient is
+    zeroed BEFORE global-norm clipping, so the frozen background also
+    does not skew the clip of the live parameters)."""
+    cfg = SMALL_BG.replace(freeze_background=True)
+    bg_init = np.random.default_rng(3).uniform(
+        0.1, 0.9, SMALL.canvas_size ** 2).astype(np.float32)
+    state = create_train_state(cfg, rng=0, background_init=bg_init)
+    bg_before = np.asarray(state.params["background"]).copy()
+    step = make_train_step(cfg)
+    images, targets = _batch()
+    for _ in range(3):
+        state, _ = step(state, images, targets)
+    assert np.array_equal(np.asarray(state.params["background"]), bg_before)
+    # sanity: the init round-trips (sigmoid(param) == requested pixels)
+    np.testing.assert_allclose(
+        1.0 / (1.0 + np.exp(-bg_before)), bg_init, atol=1e-5)
+    # the live parameters did move
+    moved = [k for k in state.params
+             if k != "background"
+             and not np.array_equal(
+                 np.asarray(jax.tree_util.tree_leaves(state.params[k])[0]),
+                 np.asarray(jax.tree_util.tree_leaves(
+                     create_train_state(cfg, rng=0,
+                                        background_init=bg_init)
+                     .params[k])[0]))]
+    assert moved, "no non-background parameter updated"
+
+
+def test_freeze_background_requires_learn_background():
+    with pytest.raises(ValueError):
+        create_train_state(SMALL.replace(freeze_background=True), rng=0)

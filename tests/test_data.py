@@ -447,3 +447,24 @@ def test_loader_rejects_sub_batch_dataset():
     # exactly one batch is fine
     assert TrainLoader((images, digits), batch_size=8).batches_per_epoch == 1
     assert DeviceDataPipeline(images, digits, batch_size=8).chunk(50) == 1
+
+
+def test_sklearn_digits_bicubic_arm():
+    """The bicubic upsample is a separate data-fidelity arm: the default
+    bilinear path must stay bit-identical to the round-4 datasets (its
+    regeneration contract), bicubic must differ smoothly, labels equal."""
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841
+    from air_tpu.data.mnist import load_sklearn_digits
+    bi, lb = load_sklearn_digits()
+    bc, lc = load_sklearn_digits(interp="bicubic")
+    assert np.array_equal(lb, lc)
+    assert bi.shape == bc.shape == (1797, 784)
+    # the round-4 bilinear pin: exact golden statistics (any numeric
+    # change to the default path breaks dataset reproducibility)
+    assert bi.dtype == np.float32
+    np.testing.assert_allclose(float(bi.sum()), 284819.71875, rtol=1e-5)
+    np.testing.assert_allclose(float(bi[0].sum()), 158.199249, rtol=1e-5)
+    # bicubic: in range, close but not identical, smoother edges
+    assert 0.0 <= bc.min() and bc.max() <= 1.0
+    rel = np.linalg.norm(bi - bc) / np.linalg.norm(bi)
+    assert 0.01 < rel < 0.2

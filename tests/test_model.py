@@ -238,3 +238,54 @@ def test_pin_raw_pixel_numerics():
     # explicit overrides always win
     assert pin_raw_pixel_numerics(False, "bfloat16", 3) == {
         "adam_storage_dtype": "bfloat16", "scan_unroll": 3}
+
+
+# -- step-parallel decoder (decoder_layout="stepparallel") --------------------
+
+def test_stepparallel_forward_parity(small_setup):
+    """The step-parallel decoder must reproduce the scan decoder exactly:
+    per-step RNG keys are split identically so every sampled draw is
+    bit-equal; the cumulative stop masks are the same algebra as the
+    sequential carry. Forward outputs agree to float tolerance (the
+    losses have been observed bit-equal on CPU) for train AND eval."""
+    params, images, targets = small_setup
+    sp = SMALL.replace(decoder_layout="stepparallel")
+    key = jax.random.PRNGKey(7)
+    for train in (True, False):
+        o1 = air_forward(params, SMALL, images, targets, key, train=train)
+        o2 = air_forward(params, sp, images, targets, key, train=train)
+        assert np.array_equal(np.asarray(o1.rec_num_digits),
+                              np.asarray(o2.rec_num_digits))
+        for f in o1._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(o1, f)), np.asarray(getattr(o2, f)),
+                rtol=2e-5, atol=2e-5, err_msg=f"{f} (train={train})")
+
+
+def test_stepparallel_gradient_parity(small_setup):
+    """Gradients agree up to scan-transpose-vs-batched reassociation
+    (the scan_unroll numerics class): per-tensor relative L2 < 1e-3."""
+    params, images, targets = small_setup
+    sp = SMALL.replace(decoder_layout="stepparallel")
+    key = jax.random.PRNGKey(8)
+    g1 = jax.grad(lambda p: air_forward(
+        p, SMALL, images, targets, key).loss)(params)
+    g2 = jax.grad(lambda p: air_forward(
+        p, sp, images, targets, key).loss)(params)
+
+    def rel_l2(path, a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.linalg.norm(a) + 1e-12
+        assert np.linalg.norm(a - b) / denom < 1e-3, (
+            f"{path}: rel L2 {np.linalg.norm(a - b) / denom}")
+
+    jax.tree_util.tree_map_with_path(rel_l2, g1, g2)
+
+
+def test_stepparallel_rejects_pallas():
+    with pytest.raises(ValueError, match="stepparallel"):
+        air_forward(
+            init_air_params(jax.random.PRNGKey(0), SMALL),
+            SMALL.replace(decoder_layout="stepparallel", st_impl="pallas"),
+            jnp.zeros((2, SMALL.canvas_size ** 2)),
+            jnp.zeros((2,), jnp.int32), jax.random.PRNGKey(1))

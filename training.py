@@ -87,6 +87,13 @@ def main():
                              "float32 — the bootstrap-critical numerics "
                              "policy; see RESULTS.md round-4 before "
                              "flipping this on")
+    parser.add_argument("--decoder-layout", default=None,
+                        choices=["scan", "stepparallel"],
+                        help="AIR decoder layout (AIRConfig."
+                             "decoder_layout): 'stepparallel' runs heads/"
+                             "STs/VAE vmapped over attention steps — a "
+                             "throughput knob with scan_unroll-class "
+                             "fusion numerics. Default: scan")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
     parser.add_argument("--stall-restart-step", type=int, default=60000,
@@ -133,6 +140,13 @@ def main():
                              "so the bootstrap never has to discover it; "
                              "'none' starts from a blank sigmoid(-4) "
                              "canvas (the round-2 behavior)")
+    parser.add_argument("--bg-freeze", action="store_true",
+                        help="freeze the learned background at its init "
+                             "(oracle attribution: with --bg-init data on "
+                             "a deterministic-compositing dataset the init "
+                             "IS the exact texture, so training runs "
+                             "against a perfect immovable background — "
+                             "AIRConfig.freeze_background)")
     parser.add_argument("--bg-composite-kind", default="",
                         help="background-intensity curriculum: composite "
                              "this procedural texture (noise/gradient/"
@@ -230,11 +244,14 @@ def main():
         stopping_threshold=args.stopping_threshold,
         cnn=args.cnn,
         learn_background=args.learn_background,
+        freeze_background=args.bg_freeze,
         # raw-pixel runs pin reference-exact numerics (rolled scan, fp32
         # moments) unless overridden — RESULTS.md round-3 unroll attribution
         **pin_raw_pixel_numerics(args.cnn, args.adam_dtype, args.unroll),
         **({"compute_dtype": args.compute_dtype}
            if args.compute_dtype else {}),
+        **({"decoder_layout": args.decoder_layout}
+           if args.decoder_layout else {}),
     )
     bg_image, bg_schedule = None, None
     if args.bg_composite_kind or args.bg_composite_path:
