@@ -4,6 +4,7 @@ single-step path, epoch bookkeeping, trainer integration."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,9 @@ from air_tpu.train.fast_pipeline import (
 from air_tpu.train.state import create_train_state
 from air_tpu.train.steps import make_train_step
 from tests.test_model import SMALL
+
+# whole-trainer / end-to-end tests: the suite's slow lane
+pytestmark = pytest.mark.slow
 
 
 def _data(n=64):

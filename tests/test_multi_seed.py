@@ -5,6 +5,7 @@ per-step keys."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from air_tpu.models.config import AIRConfig
 from air_tpu.train.state import create_train_state
@@ -12,6 +13,9 @@ from air_tpu.train.fast_pipeline import make_multi_step, device_epoch_perm
 from air_tpu.train.multi_seed import (
     create_multi_seed_state, make_multi_seed_step, multi_seed_perms,
     reinit_replica, evaluate_replicas)
+
+# whole-trainer / end-to-end tests: the suite's slow lane
+pytestmark = pytest.mark.slow
 
 SMALL = AIRConfig(
     max_steps=3, max_digits=2, rnn_units=32, canvas_size=20, windows_size=8,
@@ -267,3 +271,25 @@ def test_multi_seed_step_compute_dtype_bf16():
     assert np.isfinite(np.asarray(metrics["loss"])).all()
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(state_S.params))
+
+
+def test_multi_seed_step_pipeline_unroll_parity():
+    """pipeline_unroll changes fusion scope, not semantics: a pu=2 sweep
+    step must match pu=1 to float tolerance (same batches, same keys)."""
+    images, digits = _data()
+    state1 = create_multi_seed_state(SMALL, SEEDS)
+    state2 = create_multi_seed_state(SMALL, SEEDS)
+    perms = multi_seed_perms(N, SEEDS, 0)
+    m1 = make_multi_seed_step(SMALL, 4, B, donate=False)
+    m2 = make_multi_seed_step(SMALL, 4, B, donate=False, pipeline_unroll=2)
+    state1, met1 = m1(state1, images, digits, perms,
+                      jnp.asarray(0, jnp.int32))
+    state2, met2 = m2(state2, images, digits, perms,
+                      jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(met1["loss"]),
+                               np.asarray(met2["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-5),
+        state1.params, state2.params)

@@ -13,8 +13,12 @@ from air_tpu.train.steps import make_train_step
 from tests.test_model import SMALL
 
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.skipif(jax.device_count() < 8,
+                       reason="needs 8 virtual devices"),
+    # multi-device / whole-trainer tests: the suite's slow lane
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

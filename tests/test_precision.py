@@ -15,6 +15,9 @@ from air_tpu.train.state import (
     create_train_state, make_optimizer, scale_by_adam_stored)
 from air_tpu.train.steps import make_train_step
 
+# whole-trainer / end-to-end tests: the suite's slow lane
+pytestmark = pytest.mark.slow
+
 SMALL = AIRConfig(
     max_steps=3, max_digits=2, rnn_units=32, canvas_size=20, windows_size=8,
     vae_latent_dimensions=6, vae_recognition_units=(32, 16),

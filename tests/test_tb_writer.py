@@ -6,6 +6,9 @@ import pytest
 
 from air_tpu.utils.tb_writer import EventWriter, crc32c, masked_crc32c
 
+# whole-trainer / end-to-end tests: the suite's slow lane
+pytestmark = pytest.mark.slow
+
 
 def test_crc32c_known_vectors():
     # RFC 3720 test vector

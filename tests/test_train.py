@@ -8,6 +8,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# whole-trainer / multi-device tests: the suite's slow lane
+pytestmark = pytest.mark.slow
+
 from air_tpu.models.config import AIRConfig
 from air_tpu.train.state import create_train_state, make_optimizer
 from air_tpu.train.steps import make_train_step, make_eval_step
