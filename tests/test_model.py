@@ -289,3 +289,24 @@ def test_stepparallel_rejects_pallas():
             SMALL.replace(decoder_layout="stepparallel", st_impl="pallas"),
             jnp.zeros((2, SMALL.canvas_size ** 2)),
             jnp.zeros((2,), jnp.int32), jax.random.PRNGKey(1))
+
+
+def test_stepparallel_parity_cnn_and_background():
+    """Same parity at the robust-default shape class: CNN encoder +
+    learned background (the init_recon term must enter the canvas sum
+    exactly once)."""
+    cfg = SMALL.replace(cnn=True, learn_background=True)
+    params = init_air_params(jax.random.PRNGKey(4), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(5),
+                                (6, SMALL.canvas_size ** 2))
+    targets = jnp.array([0, 1, 2, 1, 0, 2], jnp.int32)
+    key = jax.random.PRNGKey(6)
+    o1 = air_forward(params, cfg, images, targets, key)
+    o2 = air_forward(params, cfg.replace(decoder_layout="stepparallel"),
+                     images, targets, key)
+    np.testing.assert_allclose(float(o1.loss), float(o2.loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1.reconstruction),
+                               np.asarray(o2.reconstruction),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(o1.rec_num_digits),
+                          np.asarray(o2.rec_num_digits))
