@@ -531,7 +531,8 @@ def main():
                      "--data-parallel (it would silently measure fused "
                      "training instead)")
     if args.pipeline_unroll != 1 and (args.eval or args.multi_seed
-                                      or args.data_parallel):
+                                      or args.data_parallel
+                                      or args.fused is False):
         parser.error("--pipeline-unroll only applies to the fused training "
                      "pipeline (the other modes would silently ignore it "
                      "while the metric name claimed it)")
@@ -658,11 +659,7 @@ def main():
     print(line, file=sys.stderr)
 
     mode = "infer" if args.eval else "train"
-    suffix = "" if args.config == "default" else f"_{args.config}"
-    if args.st_impl != "xla":
-        suffix += f"_{args.st_impl}"
-    if args.compute_dtype == "bfloat16":
-        suffix += "_bf16c"
+    suffix = metric_suffix(args)
     out = {
         "metric": f"multi_mnist_{mode}_images_per_sec_b{args.batch_size}{suffix}",
         "value": round(result["images_per_sec"], 1),

@@ -166,12 +166,17 @@ def cited_tags(text):
     return {m for m in _TAG_RE.findall(text) if _TAG_SHAPE.match(m)}
 
 
-_LEDGER_PATH_RE = re.compile(r"`?(harder_runs/ledgers/[\w.{},]+\.json)`?")
+# Any cited evidence file: harder_runs/ (ledgers, bench grids) or a
+# sweep ledger dir. Round 4's drift was a `harder_runs/*.jsonl` citation
+# the old ledgers/-only regex never looked at.
+_LEDGER_PATH_RE = re.compile(
+    r"`?((?:harder_runs|sweep_\w+)/[\w./{},-]+\.jsonl?)`?")
 
 
 def cited_ledger_paths(text):
-    """harder_runs/ledgers/*.json paths cited in a markdown document.
-    Supports the `r4_ref_{a,b}_cnn.json` brace shorthand."""
+    """Evidence-file paths (.json/.jsonl under harder_runs/ or sweep_*/)
+    cited in a markdown document. Supports the `r4_ref_{a,b}_cnn.json`
+    brace shorthand."""
     paths = set()
     for raw in _LEDGER_PATH_RE.findall(text):
         m = re.match(r"^(.*)\{([\w,]+)\}(.*)$", raw)
@@ -183,10 +188,24 @@ def cited_ledger_paths(text):
     return paths
 
 
+def _git_tracked(repo=REPO):
+    """Set of git-tracked paths (empty if git is unavailable)."""
+    import subprocess
+    try:
+        out = subprocess.run(["git", "-C", repo, "ls-files"],
+                             capture_output=True, text=True, check=True)
+    except Exception:
+        return None
+    return set(out.stdout.splitlines())
+
+
 def check_citations(repo=REPO, docs=("RESULTS.md", "README.md")):
     """Every cited tag resolves to a completed ledger row; every cited
-    ledger path exists. Returns a list of problems (empty = clean)."""
+    evidence path exists AND is git-tracked (an on-disk-but-untracked
+    ledger dies at round recycling — round 4 shipped three of those).
+    Returns a list of problems (empty = clean)."""
     tags = all_sweep_tags(repo)
+    tracked = _git_tracked(repo)
     problems = []
     for doc in docs:
         with open(os.path.join(repo, doc)) as f:
@@ -203,6 +222,10 @@ def check_citations(repo=REPO, docs=("RESULTS.md", "README.md")):
             if not os.path.exists(os.path.join(repo, rel)):
                 problems.append(f"{doc}: cited ledger path {rel} does not "
                                 f"exist")
+            elif tracked is not None and rel not in tracked:
+                problems.append(f"{doc}: cited ledger path {rel} exists "
+                                f"but is NOT git-tracked (would be lost "
+                                f"at round recycling)")
     return problems
 
 
