@@ -51,7 +51,11 @@ case "${1:-all}" in
     done
     ;;
   sweeps)
-    sweep 0 1 2 3 4 5 6 7 8 9 --cnn --pipeline-unroll 4 --rotate 0
+    # pu4 split into S=5 halves: the S=10 x 4-way-unrolled program crashed
+    # at step 0 on the chip (no diagnostic — 18 min wall suggests compile
+    # then OOM/tunnel death); halving S halves live buffers and compile
+    sweep 0 1 2 3 4 --cnn --pipeline-unroll 4 --rotate 0
+    sweep 5 6 7 8 9 --cnn --pipeline-unroll 4 --rotate 0
     sweep 0 1 2 3 4 5 6 7 8 9 --cnn --decoder-layout stepparallel --rotate 0
     sweep 0 1 2 3 4 5 6 7 8 9 --cnn --decoder-layout stepparallel \
       --compute-dtype bfloat16 --rotate 0

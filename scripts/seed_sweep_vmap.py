@@ -275,12 +275,13 @@ def main():
                       f"step {conv_step[r]} ({acc[r]:.3f})")
         return all(c is not None for c in conv_step)
 
-    def write_rows(crashed=False):
+    def write_rows(crashed=False, error=None):
         """Final (or crash-time) ledger rows. On a crash the device may be
         unreachable, so replica steps come from the eval history rather
-        than a device fetch; rows carry "crashed": true and best-so-far
+        than a device fetch; rows carry "crashed": true, best-so-far
         accuracy (best across all attempts — the strongest evidence the
-        died sweep actually produced)."""
+        died sweep actually produced), and the exception text (the round-5
+        pu4 crash left 10 rows with no diagnostic at all)."""
         wall = time.time() - t0
         if crashed:
             rsteps = [history[r][-1][0] if history[r] else 0
@@ -309,6 +310,8 @@ def main():
                 }
                 if crashed:
                     rec_out["crashed"] = True
+                    if error:
+                        rec_out["error"] = error
                 f.write(json.dumps(rec_out) + "\n")
                 print("SWEEPRESULT " + json.dumps(rec_out))
         agg = sum(1 for r in range(S)
@@ -400,8 +403,9 @@ def main():
             # the loop exited at max_iters up to eval_every-1 steps after
             # the last eval: refresh the accuracy at the true final step
             retry(run_eval)
-    except BaseException:
-        write_rows(crashed=True)
+    except BaseException as e:
+        write_rows(crashed=True,
+                   error=f"{type(e).__name__}: {e}"[:300])
         raise
     write_rows()
 
