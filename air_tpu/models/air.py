@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from air_tpu.models.config import AIRConfig
 from air_tpu.nn.layers import two_layer_head_init, two_layer_head_apply
-from air_tpu.nn.lstm import lstm_init, lstm_apply, lstm_zero_state
+from air_tpu.nn.lstm import (lstm_init, lstm_apply, lstm_apply_hoisted,
+                             lstm_input_proj, lstm_zero_state)
 from air_tpu.nn.vae import vae_init, vae_apply
 from air_tpu.nn.cnn import cnn_init, cnn_apply
 from air_tpu.ops.transformer import attention_read, attention_write
@@ -288,10 +289,18 @@ def _step(params: dict, config: AIRConfig, hp: dict,
     cdt = jnp.dtype(config.compute_dtype)
 
     # RNN time step (air/air_model.py:284-286); params cast per use inside
-    # the scan body (see the _attend precision comment)
-    outputs, lstm_state = lstm_apply(
-        jax.tree_util.tree_map(lambda a: a.astype(cdt), params["lstm"]),
-        lstm_state, rnn_input.astype(cdt))
+    # the scan body (see the _attend precision comment). Under
+    # rnn_input_hoist, ``rnn_input`` is the precomputed gate projection
+    # (air_forward hoists it out of the scan) and only the recurrent
+    # kernel half is read here.
+    lstm_cast = jax.tree_util.tree_map(lambda a: a.astype(cdt),
+                                       params["lstm"])
+    if config.rnn_input_hoist:
+        outputs, lstm_state = lstm_apply_hoisted(
+            lstm_cast, lstm_state, rnn_input.astype(cdt))
+    else:
+        outputs, lstm_state = lstm_apply(
+            lstm_cast, lstm_state, rnn_input.astype(cdt))
 
     a = _attend(params, config, hp, images_2d, outputs, train, key)
 
@@ -387,6 +396,21 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
     else:
         rnn_input = images
 
+    if config.rnn_input_hoist:
+        # Hoist the invariant input half of the gate matmul out of the
+        # recurrence (nn/lstm.py lstm_input_proj — XLA does not split the
+        # concat-dot itself). Like the CNN features above, the projection
+        # is kept fp32 in the scan closure and re-cast per step: its
+        # cotangent accumulates across attention steps, and that sum must
+        # stay fp32 (round-4 hoisted-cast regression). W_x is consumed
+        # only here (once per image), so casting it outside the scan is
+        # policy-consistent.
+        lstm_proj_params = (params["lstm"] if cdt == jnp.float32
+                            else jax.tree_util.tree_map(
+                                lambda a: a.astype(cdt), params["lstm"]))
+        rnn_input = lstm_input_proj(
+            lstm_proj_params, rnn_input.astype(cdt)).astype(jnp.float32)
+
     if config.learn_background:
         # harder-scenes extension (models/config.py:learn_background): the
         # canvas starts at the learned static background instead of zeros,
@@ -422,10 +446,14 @@ def air_forward(params: dict, config: AIRConfig, images: jnp.ndarray,
                              "fused with the sequential canvas carry)")
 
         def lstm_body(lstm_state, _):
-            out, lstm_state = lstm_apply(
-                jax.tree_util.tree_map(lambda a: a.astype(cdt),
-                                       params["lstm"]),
-                lstm_state, rnn_input.astype(cdt))
+            lstm_cast = jax.tree_util.tree_map(lambda a: a.astype(cdt),
+                                               params["lstm"])
+            if config.rnn_input_hoist:
+                out, lstm_state = lstm_apply_hoisted(
+                    lstm_cast, lstm_state, rnn_input.astype(cdt))
+            else:
+                out, lstm_state = lstm_apply(
+                    lstm_cast, lstm_state, rnn_input.astype(cdt))
             return lstm_state, out
 
         _, outputs_T = jax.lax.scan(

@@ -129,6 +129,19 @@ class AIRConfig:
     # keys); batching/reduction order differs, so this is a fusion-
     # numerics knob like scan_unroll (models/air.py stepparallel branch).
     decoder_layout: str = "scan"
+    # Hoist the invariant input half of the LSTM gate matmul out of the
+    # recurrence (nn/lstm.py lstm_input_proj): AIR re-feeds the SAME
+    # image encoding every attention step, but XLA does not split the
+    # concat-dot to exploit it — the full [B, in+units] @ [in+units, 4u]
+    # dot sits inside the compiled while body (verified on optimized
+    # HLO, round 5). With the hoist, x @ W_x + b runs once per image and
+    # only the [units, 4u] recurrent half is read per step — removing
+    # ~2/3 of the model's dominant weight stream in the scaled config
+    # and shortening the sequential critical path under stepparallel.
+    # Exact algebra up to reassociation (x@Wx + b + h@Wh vs concat@W+b):
+    # the scan_unroll fusion-numerics class, so it follows the same
+    # convergence-evidence policy before any default flip.
+    rnn_input_hoist: bool = False
     # harder-scenes extension (no reference counterpart): learn a static
     # background canvas. The generator composites ONE background texture
     # into every image (reference multi_mnist.py:319-334: read once, added

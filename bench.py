@@ -53,13 +53,19 @@ def get_config(name: str):
 
 
 def analytic_flops_per_image(cfg, train: bool) -> float:
-    """Analytic matmul FLOPs per image (2 x MACs), accounting for XLA's
-    loop-invariant code motion: the recurrent input (raw image or CNN
-    features) is re-fed UNCHANGED every scan step (reference
+    """Analytic matmul FLOPs per image (2 x MACs) on the MINIMAL-work
+    basis (the standard MFU convention): the recurrent input (raw image
+    or CNN features) is re-fed UNCHANGED every scan step (reference
     air/air_model.py:286), so the input half of the LSTM gate matmul —
-    by far the largest op — is hoisted out of the scan and computed once
-    per image, not once per step. Verified against XLA cost analysis and
-    slope-timed hardware runs (RESULTS.md round-2 measurement note).
+    by far the largest op — NEED only run once per image, and is counted
+    once. Round-5 correction: XLA does NOT perform this hoist itself
+    (the full concat-dot sits inside the compiled while body — optimized
+    HLO inspection); the executed-FLOP count matches this model only
+    under ``AIRConfig.rnn_input_hoist``, which performs the split
+    explicitly (nn/lstm.py lstm_input_proj). Without the hoist the
+    hardware does more work than counted here, so reported MFU
+    understates device utilization but honestly states useful-work
+    utilization.
 
     Training factors: hoisted terms whose input is DATA (the LSTM gate
     input half; the first CNN conv) run fwd + dW only (dX is not needed
@@ -447,6 +453,8 @@ def metric_suffix(args) -> str:
         suffix += "_bf16c"
     if args.decoder_layout == "stepparallel":
         suffix += "_sp"
+    if getattr(args, "rnn_input_hoist", False):
+        suffix += "_hx"
     return suffix
 
 
@@ -514,6 +522,11 @@ def main():
                              "(only the tiny LSTM chain is sequential — "
                              "AIRConfig.decoder_layout). Default: the "
                              "shipped config default (scan)")
+    parser.add_argument("--rnn-input-hoist", action="store_true",
+                        help="hoist the invariant input half of the LSTM "
+                             "gate matmul out of the attention recurrence "
+                             "(AIRConfig.rnn_input_hoist; nn/lstm.py "
+                             "lstm_input_proj)")
     args = parser.parse_args()
     global ST_IMPL
     ST_IMPL = args.st_impl
@@ -525,6 +538,8 @@ def main():
         CFG_OVERRIDES["compute_dtype"] = args.compute_dtype
     if args.decoder_layout is not None:
         CFG_OVERRIDES["decoder_layout"] = args.decoder_layout
+    if args.rnn_input_hoist:
+        CFG_OVERRIDES["rnn_input_hoist"] = True
 
     if args.fused and (args.eval or args.multi_seed or args.data_parallel):
         parser.error("--fused conflicts with --eval/--multi-seed/"

@@ -99,6 +99,10 @@ def main():
                    help="AIR decoder layout (AIRConfig.decoder_layout): "
                         "'stepparallel' vmaps heads/STs/VAE over attention "
                         "steps — scan_unroll-class fusion numerics")
+    p.add_argument("--rnn-input-hoist", action="store_true",
+                   help="hoist the invariant LSTM gate-input projection "
+                        "out of the recurrence (AIRConfig.rnn_input_hoist "
+                        "— scan_unroll-class fusion numerics)")
     p.add_argument("--anneal-iters", type=int, default=None,
                    help="decade length (iterations per 10x decay) of the "
                         "z_pres prior log-odds schedule; default keeps the "
@@ -149,8 +153,9 @@ def main():
         **({"compute_dtype": args.compute_dtype}
            if args.compute_dtype else {}),
         **({"decoder_layout": args.decoder_layout}
-           if args.decoder_layout else {}))
-    tag = args.tag or ("vmap_hold%d%s%s%s%s%s%s%s%s%s" % (
+           if args.decoder_layout else {}),
+        **({"rnn_input_hoist": True} if args.rnn_input_hoist else {}))
+    tag = args.tag or ("vmap_hold%d%s%s%s%s%s%s%s%s%s%s" % (
         args.hold, "_cnn" if args.cnn else "",
         "_scalecur" if args.scale_curriculum else "",
         "_rot" if args.rotate else "",
@@ -160,7 +165,8 @@ def main():
         "_pu%d" % args.pipeline_unroll
         if args.pipeline_unroll != 1 else "",
         "_ai%d" % args.anneal_iters if args.anneal_iters else "",
-        "_sp" if args.decoder_layout == "stepparallel" else ""))
+        "_sp" if args.decoder_layout == "stepparallel" else "",
+        "_hx" if args.rnn_input_hoist else ""))
 
     rec = read_records(os.path.join(args.data, "common.airrec"))
     images = jax.device_put(np.asarray(rec["images"], np.float32)

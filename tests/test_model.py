@@ -310,3 +310,60 @@ def test_stepparallel_parity_cnn_and_background():
                                rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(o1.rec_num_digits),
                           np.asarray(o2.rec_num_digits))
+
+
+# -- hoisted LSTM input projection (rnn_input_hoist) ---------------------------
+
+def test_rnn_input_hoist_parity(small_setup):
+    """The hoisted gate-input projection (x@Wx + b outside the scan,
+    h@Wh inside — nn/lstm.py lstm_input_proj) is the same algebra as the
+    fused concat-dot up to reassociation; forward outputs agree to float
+    tolerance for both decoder layouts, train and eval."""
+    params, images, targets = small_setup
+    key = jax.random.PRNGKey(11)
+    for layout in ("scan", "stepparallel"):
+        base = SMALL.replace(decoder_layout=layout)
+        hoist = base.replace(rnn_input_hoist=True)
+        for train in (True, False):
+            o1 = air_forward(params, base, images, targets, key, train=train)
+            o2 = air_forward(params, hoist, images, targets, key,
+                             train=train)
+            assert np.array_equal(np.asarray(o1.rec_num_digits),
+                                  np.asarray(o2.rec_num_digits)), \
+                f"layout={layout} train={train}"
+            for f in o1._fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(o1, f)), np.asarray(getattr(o2, f)),
+                    rtol=2e-5, atol=2e-5,
+                    err_msg=f"{f} (layout={layout}, train={train})")
+
+
+def test_rnn_input_hoist_parity_cnn():
+    """Hoist parity at the robust-default shape class (CNN features feed
+    the projection) and gradient agreement in the scan_unroll numerics
+    class (per-tensor rel L2 < 1e-3)."""
+    cfg = SMALL.replace(cnn=True)
+    params = init_air_params(jax.random.PRNGKey(4), cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(5),
+                                (6, SMALL.canvas_size ** 2))
+    targets = jnp.array([0, 1, 2, 1, 0, 2], jnp.int32)
+    key = jax.random.PRNGKey(6)
+    hoist = cfg.replace(rnn_input_hoist=True)
+    o1 = air_forward(params, cfg, images, targets, key)
+    o2 = air_forward(params, hoist, images, targets, key)
+    np.testing.assert_allclose(float(o1.loss), float(o2.loss), rtol=1e-6)
+    assert np.array_equal(np.asarray(o1.rec_num_digits),
+                          np.asarray(o2.rec_num_digits))
+
+    g1 = jax.grad(lambda p: air_forward(
+        p, cfg, images, targets, key).loss)(params)
+    g2 = jax.grad(lambda p: air_forward(
+        p, hoist, images, targets, key).loss)(params)
+
+    def rel_l2(path, a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.linalg.norm(a) + 1e-12
+        assert np.linalg.norm(a - b) / denom < 1e-3, (
+            f"{path}: rel L2 {np.linalg.norm(a - b) / denom}")
+
+    jax.tree_util.tree_map_with_path(rel_l2, g1, g2)

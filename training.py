@@ -94,6 +94,11 @@ def main():
                              "STs/VAE vmapped over attention steps — a "
                              "throughput knob with scan_unroll-class "
                              "fusion numerics. Default: scan")
+    parser.add_argument("--rnn-input-hoist", action="store_true",
+                        help="hoist the invariant input half of the LSTM "
+                             "gate matmul out of the attention recurrence "
+                             "(AIRConfig.rnn_input_hoist — a throughput "
+                             "knob with scan_unroll-class fusion numerics)")
     parser.add_argument("--stop-at-accuracy", type=float, default=None,
                         help="stop once test accuracy reaches this value")
     parser.add_argument("--stall-restart-step", type=int, default=60000,
@@ -252,6 +257,7 @@ def main():
            if args.compute_dtype else {}),
         **({"decoder_layout": args.decoder_layout}
            if args.decoder_layout else {}),
+        **({"rnn_input_hoist": True} if args.rnn_input_hoist else {}),
     )
     bg_image, bg_schedule = None, None
     if args.bg_composite_kind or args.bg_composite_path:
