@@ -51,14 +51,30 @@ case "${1:-all}" in
     done
     ;;
   sweeps)
-    # pu4 split into S=5 halves: the S=10 x 4-way-unrolled program crashed
-    # at step 0 on the chip (no diagnostic — 18 min wall suggests compile
-    # then OOM/tunnel death); halving S halves live buffers and compile
-    sweep 0 1 2 3 4 --cnn --pipeline-unroll 4 --rotate 0
-    sweep 5 6 7 8 9 --cnn --pipeline-unroll 4 --rotate 0
+    # hoisted-gate-projection bench rows first (grid addendum): decides
+    # whether hx joins the fast-path default candidate
+    row () { timeout 1200 python bench.py "$@" | tail -1 >> harder_runs/bench_r5_grid.jsonl; }
+    row --rnn-input-hoist
+    row --decoder-layout stepparallel --rnn-input-hoist
+    row --decoder-layout stepparallel --compute-dtype bfloat16
+    row --decoder-layout stepparallel --compute-dtype bfloat16 --rnn-input-hoist
+    row --config scaled --batch-size 1024 --multi-step 20 --rnn-input-hoist
+    row --config scaled --batch-size 1024 --multi-step 20 \
+      --compute-dtype bfloat16 --rnn-input-hoist
+    row --config scaled --batch-size 1024 --multi-step 20 \
+      --decoder-layout stepparallel --compute-dtype bfloat16 --rnn-input-hoist
+    # convergence sweeps, default-candidate first (the full fast path),
+    # then single-knob attribution, then the judge-requested pu4 arm
+    # (split into S=5 halves: the S=10 x 4-way-unrolled program crashed
+    # at step 0 on the chip with no diagnostic; halving S halves live
+    # buffers and compile)
+    sweep 0 1 2 3 4 5 6 7 8 9 --cnn --decoder-layout stepparallel \
+      --compute-dtype bfloat16 --rnn-input-hoist --rotate 0
     sweep 0 1 2 3 4 5 6 7 8 9 --cnn --decoder-layout stepparallel --rotate 0
     sweep 0 1 2 3 4 5 6 7 8 9 --cnn --decoder-layout stepparallel \
       --compute-dtype bfloat16 --rotate 0
+    sweep 0 1 2 3 4 --cnn --pipeline-unroll 4 --rotate 0
+    sweep 5 6 7 8 9 --cnn --pipeline-unroll 4 --rotate 0
     ;;
   real)
     sweep 2 3 8 --scale-curriculum --data real_digits_data --out sweep_real \
