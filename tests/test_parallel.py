@@ -255,3 +255,27 @@ def test_trainer_device_data_plus_dp(tmp_path):
     assert result["step"] == 10
     leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_tp_hoist_matches_single_device(batch):
+    """rnn_input_hoist under tensor parallelism: the hoisted projection
+    row-slices the column-sharded gate kernel (rows are orthogonal to
+    the model-axis column split), so the data=4 x model=2 update must
+    still reproduce the single-device hoisted update."""
+    from air_tpu.parallel.mesh import shard_state
+    cfg = SMALL.replace(rnn_input_hoist=True)
+    images, digits = batch
+    mesh = make_mesh(8, model_axis=2)
+    state_p = shard_state(mesh, create_train_state(cfg, rng=0))
+    state_s = create_train_state(cfg, rng=0)
+    pstep = make_parallel_train_step(cfg, mesh, donate=False)
+    sstep = make_train_step(cfg, donate=False)
+    si, sd = shard_batch(mesh, images, digits)
+    new_p, m_p = pstep(state_p, si, sd)
+    new_s, m_s = sstep(state_s, jnp.asarray(images), jnp.asarray(digits))
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_s["loss"]),
+                               rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        new_p.params, new_s.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
