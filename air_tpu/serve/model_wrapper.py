@@ -44,8 +44,24 @@ def _pad_to_bucket(batch: np.ndarray):
 
 class ModelWrapper:
     def __init__(self, config: AIRConfig, params, canvas_size: int | None = None,
-                 window_size: int | None = None, seed: int = 0):
-        self.config = config.replace(train=False)
+                 window_size: int | None = None, seed: int = 0,
+                 decoder_layout: str | None = None):
+        # Serving defaults to the step-parallel decoder regardless of the
+        # layout the checkpoint TRAINED with: params are identical (the
+        # layout is a compute-path knob), forward outputs are
+        # bit-identical to the scan decoder (per-step RNG keys split the
+        # same way; tests/test_model.py::test_stepparallel_forward_parity)
+        # and batching the per-step heads/STs/VAE to [T*B] MXU tiles is a
+        # measured +27% at the reference's b64 point (RESULTS.md round-5
+        # grid) — pure win for inference, where the training-convergence
+        # question does not apply. Pass decoder_layout="scan" to force
+        # the training layout; Pallas-ST configs keep their own layout
+        # (stepparallel requires st_impl="xla").
+        if decoder_layout is None:
+            decoder_layout = ("stepparallel" if config.st_impl == "xla"
+                              else config.decoder_layout)
+        self.config = config.replace(train=False,
+                                     decoder_layout=decoder_layout)
         self.params = params
         # reference-ctor-parity args; the model geometry comes from the
         # config, so a differing value would silently misalign the packed

@@ -215,3 +215,29 @@ def test_wrapper_geometry_args_validated():
         ModelWrapper(SMALL, params, window_size=SMALL.windows_size + 1)
     ModelWrapper(SMALL, params, canvas_size=SMALL.canvas_size,
                  window_size=SMALL.windows_size)
+
+
+def test_serving_defaults_to_stepparallel_and_matches_scan(frames):
+    """Serving defaults to the step-parallel decoder (a compute-path
+    knob: params identical, per-step RNG keys split the same way), so
+    infer() must match a forced-scan wrapper bit-for-bit."""
+    params = init_air_params(jax.random.PRNGKey(0), SMALL)
+    w_sp = ModelWrapper(SMALL, params, seed=3)
+    assert w_sp.config.decoder_layout == "stepparallel"
+    w_scan = ModelWrapper(SMALL, params, seed=3, decoder_layout="scan")
+    assert w_scan.config.decoder_layout == "scan"
+    out_sp = w_sp.infer(frames)
+    out_scan = w_scan.infer(frames)
+    assert out_sp[0] == out_scan[0]                     # digit counts
+    for field_sp, field_scan in zip(out_sp[1:], out_scan[1:]):
+        for a, b in zip(field_sp, field_scan):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_serving_pallas_st_keeps_own_layout():
+    """stepparallel requires st_impl='xla'; a Pallas-ST checkpoint must
+    fall back to its own (scan) layout instead of raising."""
+    cfg = SMALL.replace(st_impl="pallas")
+    params = init_air_params(jax.random.PRNGKey(0), cfg)
+    w = ModelWrapper(cfg, params)
+    assert w.config.decoder_layout == "scan"
