@@ -7,6 +7,28 @@ import shutil
 import sys
 
 
+def prepare_results_folder(results_folder):
+    """Fresh-output-dir semantics with a safety guard.
+
+    The reference tool starts from a fresh output dir (reference
+    embeddings.py deletes and recreates it). Only delete a folder whose
+    contents are a previous run of THIS tool — pointing
+    --results-folder at a training run would otherwise silently delete
+    its checkpoints before they are even loaded.
+    """
+    if os.path.isdir(results_folder):
+        own = ("_tensors.tsv", "mnist_metadata.tsv", "mnist_sprites.png",
+               "projector_config.pbtxt")
+        alien = [e for e in os.listdir(results_folder)
+                 if not e.endswith(own)]
+        if alien:
+            sys.exit(f"{results_folder} contains files not written by "
+                     f"this tool (e.g. {alien[0]}); refusing to delete it. "
+                     "Pass a dedicated embeddings output folder.")
+        shutil.rmtree(results_folder)
+    os.makedirs(results_folder)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model-path", default="./model/air-model")
@@ -24,8 +46,7 @@ def main():
         load_checkpoint, latest_checkpoint, checkpoint_arch)
     from air_tpu.tools.embeddings import run
 
-    shutil.rmtree(args.results_folder, ignore_errors=True)
-    os.makedirs(args.results_folder)
+    prepare_results_folder(args.results_folder)
 
     path = args.model_path
     if os.path.isdir(path):

@@ -59,7 +59,7 @@ timeout 1200 python demo.py --model-path harder_runs/r5_real_ckpt/models \
 timeout 1800 python embeddings.py \
   --model-path harder_runs/r5_real_ckpt/models \
   --test-data real_digits_data/test.airrec \
-  --results-folder harder_runs/r5_real_ckpt
+  --results-folder harder_runs/r5_real_ckpt/embeddings
 
 stamp oracle
 run_harder r5_ref_abstract1_oracle harder_ref_abstract1_data 120000 --bg-freeze

@@ -241,3 +241,36 @@ def test_serving_pallas_st_keeps_own_layout():
     params = init_air_params(jax.random.PRNGKey(0), cfg)
     w = ModelWrapper(cfg, params)
     assert w.config.decoder_layout == "scan"
+
+
+# --- embeddings CLI output-folder guard ----------------------------------------
+
+def test_embeddings_prepare_folder_refuses_alien_files(tmp_path):
+    """The CLI wipes its output folder for fresh-run semantics (reference
+    embeddings.py behavior) — but must refuse to delete a folder holding
+    anything it did not write itself, e.g. a training run's checkpoints
+    (pointing --results-folder at the run folder used to silently delete
+    the very checkpoint being loaded)."""
+    import embeddings as cli
+
+    run_dir = tmp_path / "train_run"
+    run_dir.mkdir()
+    (run_dir / "air-model-55000.npz").write_bytes(b"x")
+    with pytest.raises(SystemExit) as e:
+        cli.prepare_results_folder(str(run_dir))
+    assert "refusing" in str(e.value)
+    assert (run_dir / "air-model-55000.npz").exists()
+
+    # A previous embeddings output IS deleted and recreated fresh.
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    for name in ("vae_tensors.tsv", "mnist_metadata.tsv",
+                 "mnist_sprites.png", "projector_config.pbtxt"):
+        (emb_dir / name).write_text("old")
+    cli.prepare_results_folder(str(emb_dir))
+    assert emb_dir.is_dir() and not list(emb_dir.iterdir())
+
+    # A nonexistent folder is simply created.
+    fresh = tmp_path / "new_out"
+    cli.prepare_results_folder(str(fresh))
+    assert fresh.is_dir()
