@@ -459,6 +459,10 @@ def metric_suffix(args) -> str:
 
 
 def main():
+    # amortize repeat-mode compiles across bench processes (the timing
+    # slopes themselves exclude compile, so caching never skews them)
+    from air_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--steps", type=int, default=50)

@@ -17,6 +17,10 @@ import sys
 
 
 def main():
+    # amortize the minutes-long fused-pipeline compile across campaign
+    # launches (air_tpu/utils/cache.py; harmless where unsupported)
+    from air_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-r", "--results-folder", default="air_results")
     parser.add_argument("-o", "--overwrite-results", type=int,
